@@ -1,0 +1,80 @@
+"""Benchmark: CRUSE enhancement throughput on one TPU chip.
+
+Prints ONE JSON line: audio-seconds enhanced per wall-second per chip
+(real-time factor at 16 kHz). Baseline target: 5000x (BASELINE.md).
+
+Methodology: the host<->device tunnel costs ~1s per call, so the benchmark
+runs ITERS full enhancement passes on-device inside one `lax.fori_loop`
+(carrying a checksum so nothing is dead-code-eliminated) and divides total
+enhanced audio by wall time. STFT -> CRUSE mask -> iSTFT, the same path as
+`__graft_entry__.entry`.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BATCH = 32
+SECONDS = 10
+SR = 16000
+ITERS = 20
+BASELINE_X_REALTIME = 5000.0
+
+
+def main():
+    from cruse_tpu.dsp.stft import StftConfig, stft, istft
+    from cruse_tpu.models import CruseNet, CruseConfig
+
+    cfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161))
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((BATCH, SECONDS * SR)).astype(np.float32) * 0.1)
+    feat_example = model.compress(jnp.abs(stft(wav, cfg)))
+    variables = model.init(jax.random.PRNGKey(0), feat_example)
+
+    def enhance(v, noisy):
+        spec = stft(noisy, cfg)
+        feat = model.compress(jnp.abs(spec))
+        mask, _ = model.apply(v, feat)
+        return istft(spec * mask, cfg, length=noisy.shape[-1])
+
+    @jax.jit
+    def bench_loop(v, noisy):
+        def body(i, carry):
+            acc, x = carry
+            out = enhance(v, x)
+            # feed the output back into the next iteration's input: creates a
+            # sequential dependence so XLA cannot hoist the loop body
+            return acc + out[0, 0], x + 1e-6 * out
+        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), noisy))
+        return acc
+
+    # warmup/compile
+    bench_loop(variables, wav).block_until_ready()
+
+    t0 = time.perf_counter()
+    bench_loop(variables, wav).block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_sec = BATCH * SECONDS * ITERS
+    x_rt = audio_sec / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_enhanced_per_sec_per_chip",
+                "value": round(x_rt, 1),
+                "unit": "x realtime @16kHz (CRUSE mask + STFT/iSTFT)",
+                "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

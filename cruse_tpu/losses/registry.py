@@ -1,0 +1,37 @@
+"""Loss registry: string -> callable dispatch, mirroring the reference's
+loss_func modes (loss_func/loss.py:16-34) plus the train_base loss."""
+from __future__ import annotations
+
+from cruse_tpu.losses.sisnr import si_snr_loss, si_snr_zero_mean
+from cruse_tpu.losses.spectral import (
+    rmse_loss,
+    compressed_spectral_loss,
+    weighted_male_loss,
+    sdnr_loss,
+    multi_res_spectral_loss,
+)
+
+
+def _neg_si_snr_zero_mean(est, ref, **kw):
+    return -si_snr_zero_mean(est, ref)
+
+
+LOSS_REGISTRY = {
+    # reference mode names (loss.py:18-21)
+    "SI-SNR": lambda est, ref, **kw: si_snr_loss(est, ref),
+    "MSE": lambda est, ref, **kw: rmse_loss(est, ref),
+    "C_MSE": lambda est, ref, **kw: compressed_spectral_loss(ref, est),
+    "WO_MALE": lambda est, ref, noisy=None, **kw: weighted_male_loss(est, ref, noisy),
+    "SDNR": sdnr_loss,
+    # framework-native names
+    "si_snr": lambda est, ref, **kw: si_snr_loss(est, ref),
+    "si_snr_zero_mean": _neg_si_snr_zero_mean,
+    "compressed_spectral": lambda est, ref, **kw: compressed_spectral_loss(ref, est),
+    "multi_res_spectral": lambda est, ref, **kw: multi_res_spectral_loss(est, ref),
+}
+
+
+def get_loss(name: str):
+    if name not in LOSS_REGISTRY:
+        raise KeyError(f"unknown loss {name!r}; available: {sorted(LOSS_REGISTRY)}")
+    return LOSS_REGISTRY[name]

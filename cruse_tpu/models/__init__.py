@@ -1,0 +1,10 @@
+"""Model zoo (L2): CRUSE (flagship), DFSMN, deep-filter head, MTFAA, BSRNN.
+
+All models consume time-major spectral features [B, T, F(, C)] and emit
+masks/filters applied to the noisy STFT. Every model exposes:
+  - ``__call__(features, state=None, train=False) -> (out, state)`` where a
+    ``None`` state means "fresh utterance"; passing T=1 chunks with carried
+    state is the streaming path and is bit-exact with the batch path.
+"""
+
+from cruse_tpu.models.cruse import CruseNet, CruseConfig  # noqa: F401

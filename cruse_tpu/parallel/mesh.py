@@ -1,0 +1,79 @@
+"""SPMD mesh + sharding rules.
+
+Replaces the reference's gloo/DDP stack (tools/train_stand.py:28-34,
+base_trainer.py:31, loss_func/distrib.py) with jax.sharding over a 2-D
+device mesh:
+
+- axis "data":  batch dimension (data parallelism; gradient psum rides ICI,
+  the XLA-inserted equivalent of DDP's bucketed all-reduce)
+- axis "model": grouped dimensions of the grouped-GRU / grouped-linear
+  weights (tensor parallelism over the *group* axis -- groups are
+  embarrassingly parallel in CRUSE-family models, so TP needs no extra
+  collectives in the forward pass)
+
+Parameter placement is rule-based on path + shape rather than hand-annotated
+per layer.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults: all devices on "data"."""
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    assert n_data * n_model == n_total, (n_data, n_model, n_total)
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over "data", replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_param(path: str, shape: tuple) -> P:
+    """Sharding rule: grouped weights [G, ...] shard their group axis over
+    "model" when divisible; everything else replicates."""
+    leaf = path.split("/")[-1]
+    grouped = leaf in ("w_ih", "w_hh", "b_ih", "b_hh", "weight") and len(shape) >= 2
+    if grouped and len(shape) >= 2:
+        return P("model", *([None] * (len(shape) - 1)))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Pytree of NamedShardings for a param tree, by rule.
+
+    Group axes only shard when they divide the "model" axis size; otherwise
+    the param replicates (safe fallback).
+    """
+    n_model = mesh.shape["model"]
+
+    def to_sharding(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = _spec_for_param(path_str, leaf.shape)
+        if spec != P() and leaf.shape[0] % n_model != 0:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the leading dim sharded over "data"."""
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,134 @@
+"""The jitted training step: forward, balancer backward, clip, Adam update.
+
+This is the hot loop the reference never finished (its concrete
+`_train_epoch` trainer subclass is absent; tools/train_stand.py:79-88 vs
+base_trainer.py:26). Design:
+
+- one `jax.vjp` through the model to the enhanced spectrum (the balancer
+  input), K cheap output-cotangent pulls for the K losses, one model-side
+  pull (loss_func/balancer.py cost profile, SURVEY.md §7.2)
+- gradient sync is implicit: under jit over a ("data", "model") mesh the
+  batch is globally sharded, so reductions in losses/grad-norms ARE the
+  cross-worker collectives (XLA inserts psum over ICI -- replacing
+  DDP/gloo and distrib.py's hand-rolled async all-reduce)
+- grad clip (trainer.train.clip_grad_norm_value) + optax Adam
+- BatchNorm running stats updated via the mutable collection
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cruse_tpu.dsp.stft import StftConfig, stft, istft
+from cruse_tpu.losses.balancer import Balancer, BalancerState
+from cruse_tpu.losses.sisnr import si_snr_loss
+from cruse_tpu.losses.spectral import compressed_spectral_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    balancer_state: BalancerState
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    stft: StftConfig = StftConfig(n_fft=320, hop_length=160)
+    learning_rate: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    clip_grad_norm: float = 10.0
+    loss_weights: tuple = (("si_snr", 1.0), ("spec", 1.0))
+    balancer_ema: float = 0.999
+    rescale_grads: bool = True
+
+
+def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip_grad_norm),
+        optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2),
+    )
+
+
+def init_train_state(model, cfg: StepConfig, rng, example_feat) -> TrainState:
+    variables = model.init(rng, example_feat)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    balancer = Balancer.make(dict(cfg.loss_weights), ema_decay=cfg.balancer_ema,
+                             rescale_grads=cfg.rescale_grads)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        balancer_state=balancer.init_state(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, cfg: StepConfig) -> Callable:
+    """Build the jittable train step.
+
+    batch: {"noisy": [B, L], "clean": [B, L]} waveforms.
+    Returns (new_state, metrics).
+    """
+    tx = make_optimizer(cfg)
+    balancer = Balancer.make(dict(cfg.loss_weights), ema_decay=cfg.balancer_ema,
+                             rescale_grads=cfg.rescale_grads)
+    scfg = cfg.stft
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        noisy, clean = batch["noisy"], batch["clean"]
+        length = noisy.shape[-1]
+        noisy_spec = stft(noisy, scfg)
+        clean_spec = stft(clean, scfg)
+        clean_ri = jnp.stack([jnp.real(clean_spec), jnp.imag(clean_spec)], axis=-1)
+        feat = model.compress(jnp.abs(noisy_spec))
+        noisy_ri = jnp.stack([jnp.real(noisy_spec), jnp.imag(noisy_spec)], axis=-1)
+
+        def model_out(params):
+            (mask, _), new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feat,
+                None,
+                True,
+                mutable=["batch_stats"],
+            )
+            enhanced_ri = noisy_ri * mask[..., None]
+            return enhanced_ri, new_vars["batch_stats"]
+
+        enhanced_ri, vjp_fn, new_batch_stats = jax.vjp(model_out, state.params, has_aux=True)
+
+        norm = clean.shape[0] * clean_spec.shape[1] * clean_spec.shape[2]
+        loss_fns = {
+            "si_snr": lambda out: si_snr_loss(
+                istft((out[..., 0], out[..., 1]), scfg, length=length), clean
+            ),
+            "spec": lambda out: compressed_spectral_loss(out, clean_ri) / norm,
+        }
+        loss_fns = {k: loss_fns[k] for k, _ in cfg.loss_weights}
+
+        out_grad, losses, new_bal_state, metrics = balancer.output_cotangent(
+            loss_fns, enhanced_ri, state.balancer_state
+        )
+        (grads,) = vjp_fn(out_grad)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            balancer_state=new_bal_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,33 @@
+"""Test harness config: force an 8-device virtual CPU mesh before jax imports.
+
+Multi-chip sharding paths are validated on host-platform virtual devices
+(the driver separately dry-runs `__graft_entry__.dryrun_multichip`).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env pins the real TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Determinism + float32 matmuls on CPU for golden parity tests.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The axon sitecustomize force-registers the TPU platform and sets
+# jax_platforms="axon,cpu"; tests must run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

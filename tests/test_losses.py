@@ -1,0 +1,107 @@
+"""Loss parity vs torch goldens + numerical invariants."""
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from cruse_tpu.losses import (
+    si_snr,
+    si_snr_zero_mean,
+    rmse_loss,
+    compressed_spectral_loss,
+    weighted_male_loss,
+    sdnr_loss,
+    multi_res_spectral_loss,
+    get_loss,
+)
+
+
+def _torch_sisnr(s1, s2, eps=1e-8):
+    """Golden: projection-form SI-SNR (loss_func/loss.py:48-56)."""
+    s1, s2 = torch.from_numpy(s1), torch.from_numpy(s2)
+    def l2(a, b):
+        return torch.sum(a * b, -1, keepdim=True)
+    s_target = l2(s1, s2) / (l2(s2, s2) + eps) * s2
+    e_noise = s1 - s_target
+    snr = 10 * torch.log10(l2(s_target, s_target) / (l2(e_noise, e_noise) + eps) + eps)
+    return float(torch.mean(snr))
+
+
+def test_si_snr_matches_torch(rng):
+    est = rng.standard_normal((4, 8000)).astype(np.float32)
+    ref = rng.standard_normal((4, 8000)).astype(np.float32)
+    ours = float(si_snr(jnp.asarray(est), jnp.asarray(ref)))
+    np.testing.assert_allclose(ours, _torch_sisnr(est, ref), atol=1e-4)
+
+
+def test_si_snr_perfect_and_scaled(rng):
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    # SI-SNR of the signal with itself is very high
+    assert float(si_snr(jnp.asarray(x), jnp.asarray(x))) > 70
+    # scale invariance: scaling est must not change SI-SNR materially
+    a = float(si_snr(jnp.asarray(x * 3.0), jnp.asarray(x)))
+    assert a > 70
+    z = float(si_snr_zero_mean(jnp.asarray(x * 0.5), jnp.asarray(x)))
+    assert z > 70
+
+
+def test_si_snr_improvement_ordering(rng):
+    clean = rng.standard_normal((1, 8000)).astype(np.float32)
+    noise = rng.standard_normal((1, 8000)).astype(np.float32)
+    noisy_bad = clean + noise
+    noisy_good = clean + 0.1 * noise
+    bad = float(si_snr(jnp.asarray(noisy_bad), jnp.asarray(clean)))
+    good = float(si_snr(jnp.asarray(noisy_good), jnp.asarray(clean)))
+    assert good > bad + 15
+
+
+def test_compressed_spectral_zero_at_identity(rng):
+    spec = rng.standard_normal((2, 10, 33, 2)).astype(np.float32)
+    loss = float(compressed_spectral_loss(jnp.asarray(spec), jnp.asarray(spec)))
+    assert loss < 1e-8
+    other = rng.standard_normal((2, 10, 33, 2)).astype(np.float32)
+    assert float(compressed_spectral_loss(jnp.asarray(other), jnp.asarray(spec))) > 0.1
+
+
+def test_wo_male_weighting(rng):
+    """Low-IAM (noise-dominated) bins must be weighted harder."""
+    ref = np.abs(rng.standard_normal((1, 5, 16, 2))).astype(np.float32)
+    noisy = ref * 10.0  # IAM = 0.1 -> high weight
+    est = ref * 1.5
+    high_w = float(weighted_male_loss(jnp.asarray(est), jnp.asarray(ref), jnp.asarray(noisy)))
+    noisy2 = ref  # IAM = 1 -> lower weight
+    low_w = float(weighted_male_loss(jnp.asarray(est), jnp.asarray(ref), jnp.asarray(noisy2)))
+    assert high_w > low_w
+
+
+def test_sdnr_components(rng):
+    clean = rng.standard_normal((2, 20, 33)).astype(np.float32) + 1j * rng.standard_normal((2, 20, 33)).astype(np.float32)
+    noise = rng.standard_normal((2, 20, 33)).astype(np.float32) + 1j * rng.standard_normal((2, 20, 33)).astype(np.float32)
+    ones = jnp.ones((2, 20, 33))
+    zeros = jnp.zeros((2, 20, 33))
+    snr = jnp.asarray([10.0, 10.0])
+    # gain == 1: no speech distortion, full noise leak
+    loss_allpass = float(sdnr_loss(jnp.asarray(clean), ones, jnp.asarray(noise), snr))
+    # gain == 0: full distortion, no noise
+    loss_mute = float(sdnr_loss(jnp.asarray(clean), zeros, jnp.asarray(noise), snr))
+    assert loss_allpass > 0 and loss_mute > 0
+    # at high SNR, speech distortion dominates -> muting is worse
+    loss_mute_hisnr = float(sdnr_loss(jnp.asarray(clean), zeros, jnp.asarray(noise), jnp.asarray([40.0, 40.0])))
+    loss_allpass_hisnr = float(sdnr_loss(jnp.asarray(clean), ones, jnp.asarray(noise), jnp.asarray([40.0, 40.0])))
+    assert loss_mute_hisnr > loss_allpass_hisnr
+
+
+def test_multi_res_zero_at_identity(rng):
+    x = rng.standard_normal((1, 8000)).astype(np.float32)
+    assert float(multi_res_spectral_loss(jnp.asarray(x), jnp.asarray(x))) < 1e-9
+    y = rng.standard_normal((1, 8000)).astype(np.float32)
+    assert float(multi_res_spectral_loss(jnp.asarray(y), jnp.asarray(x))) > 1e-4
+
+
+def test_registry():
+    fn = get_loss("SI-SNR")
+    x = jnp.ones((1, 100))
+    assert np.isfinite(float(fn(x, x)))
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_loss("nope")
