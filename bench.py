@@ -55,12 +55,20 @@ def main():
         acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), noisy))
         return acc
 
-    # warmup/compile
-    bench_loop(variables, wav).block_until_ready()
+    # warmup/compile (float() forces a real device round trip -- on the
+    # tunneled runtime block_until_ready alone can return early)
+    float(bench_loop(variables, wav))
 
-    t0 = time.perf_counter()
-    bench_loop(variables, wav).block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # time on FRESH inputs each call (identical executions can be cached by
+    # the remote runtime); take the best of 3 to shed host/tunnel jitter
+    times = []
+    for rep in range(3):
+        wav_rep = wav * (1.0 + 1e-4 * (rep + 1))
+        float(wav_rep[0, 0])
+        t0 = time.perf_counter()
+        float(bench_loop(variables, wav_rep))
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
 
     audio_sec = BATCH * SECONDS * ITERS
     x_rt = audio_sec / elapsed

@@ -1,0 +1,154 @@
+"""Synthetic-mixing dataset: host-side selection/crop, device-side mixing.
+
+Equivalent of the reference `SynDataset` (dataset/dataset.py:49-264, with the
+truncated `__getitem__`/`snr_mix` tail restored -- SURVEY.md §2.9 item 5).
+The host side concatenates randomly-chosen files with silence gaps to the
+target length and crops (numpy, runs in the input pipeline); the actual
+mixing runs on device via `cruse_tpu.data.mixer.mix_batch`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cruse_tpu.data.manifest import load_manifest, offset_and_limit, parse_snr_range
+from cruse_tpu.data.mixer import MixerConfig, mix_batch
+from cruse_tpu.data.wavio import read_wav
+
+
+@dataclasses.dataclass
+class SynMixConfig:
+    clean_manifest: str = ""
+    noise_manifest: str = ""
+    rir_manifest: str = ""
+    rir_noise_manifest: str = ""
+    clean_offset: int = 0
+    clean_limit: Optional[int] = None
+    noise_offset: int = 0
+    noise_limit: Optional[int] = None
+    rir_offset: int = 0
+    rir_limit: Optional[int] = None
+    snr_range: tuple = (-5, 20)
+    reverb_proportion: float = 0.0
+    reverb_noise_proportion: float = 0.0
+    silence_length: float = 0.2  # seconds between concatenated clips
+    target_db_fs: float = -25.0
+    target_db_fs_floating: float = 10.0
+    sub_sample_seconds: float = 3.0
+    sr: int = 16000
+    dataset_length: Optional[int] = None
+    batch_size: int = 32
+    rir_max_seconds: float = 0.5  # static RIR pad length for device batching
+    eq_proportion: float = 0.0
+    seed: int = 0
+    valid_mode: bool = False
+
+
+class SynMixDataset:
+    """Iterable over device-ready batches {"noisy", "clean"} (+ names in
+    valid mode)."""
+
+    def __init__(self, config: SynMixConfig):
+        self.cfg = config
+        c = config
+        self.clean_list = offset_and_limit(load_manifest(c.clean_manifest), c.clean_offset, c.clean_limit)
+        self.noise_list = offset_and_limit(load_manifest(c.noise_manifest), c.noise_offset, c.noise_limit)
+        self.rir_list = (
+            offset_and_limit(load_manifest(c.rir_manifest), c.rir_offset, c.rir_limit)
+            if c.rir_manifest
+            else []
+        )
+        self.rir_noise_list = load_manifest(c.rir_noise_manifest) if c.rir_noise_manifest else []
+        assert self.clean_list, "empty clean manifest"
+        assert self.noise_list, "empty noise manifest"
+        self.snr_list = parse_snr_range(c.snr_range)
+        self.length = int(c.dataset_length) if c.dataset_length else len(self.clean_list)
+        self.rng = np.random.default_rng(c.seed)
+        self.sub_len = int(c.sub_sample_seconds * c.sr)
+        self.rir_len = int(c.rir_max_seconds * c.sr)
+        self.mixer_cfg = MixerConfig(
+            sr=c.sr,
+            snr_range=tuple(c.snr_range),
+            target_db_fs=c.target_db_fs,
+            target_db_fs_floating=c.target_db_fs_floating,
+            reverb_proportion=c.reverb_proportion,
+            reverb_noise_proportion=c.reverb_noise_proportion,
+            eq_proportion=c.eq_proportion,
+        )
+        self._mix = jax.jit(
+            lambda key, clean, noise, rir: mix_batch(key, clean, noise, self.mixer_cfg, rir)
+        )
+        self._mix_no_rir = jax.jit(
+            lambda key, clean, noise: mix_batch(key, clean, noise, self.mixer_cfg)
+        )
+
+    def __len__(self):
+        return self.length
+
+    # ---- host-side selection (dataset.py:147-213 behavior) ----
+
+    def _select_concat(self, file_list: List[str], target_length: int, start=None) -> np.ndarray:
+        """Concatenate random files with silence gaps to >= target_length,
+        then random-crop to target_length."""
+        silence = np.zeros(int(self.cfg.sr * self.cfg.silence_length), np.float32)
+        pieces = [] if start is None else [start]
+        total = 0 if start is None else len(start)
+        while total < target_length:
+            f = file_list[self.rng.integers(len(file_list))]
+            wav, _ = read_wav(f, sr=self.cfg.sr)
+            if wav.ndim == 2:
+                wav = wav[self.rng.integers(wav.shape[0])]
+            pieces.append(wav)
+            total += len(wav)
+            if total < target_length:
+                gap = silence[: min(len(silence), target_length - total)]
+                pieces.append(gap)
+                total += len(gap)
+        y = np.concatenate(pieces)
+        if len(y) > target_length:
+            idx = self.rng.integers(len(y) - target_length + 1)
+            y = y[idx : idx + target_length]
+        return y.astype(np.float32)
+
+    def _select_rir(self) -> np.ndarray:
+        """Pad/crop a random RIR to the static device length; zeros = none."""
+        rir = np.zeros(self.rir_len, np.float32)
+        if self.rir_list:
+            wav, _ = read_wav(self.rir_list[self.rng.integers(len(self.rir_list))], sr=self.cfg.sr)
+            if wav.ndim == 2:
+                wav = wav[0]
+            n = min(len(wav), self.rir_len)
+            rir[:n] = wav[:n]
+        return rir
+
+    def host_batch(self):
+        """Assemble one host-side batch of raw (clean, noise, rir) arrays."""
+        b = self.cfg.batch_size
+        clean = np.stack([self._select_concat(self.clean_list, self.sub_len) for _ in range(b)])
+        noise = np.stack([self._select_concat(self.noise_list, self.sub_len) for _ in range(b)])
+        rir = (
+            np.stack([self._select_rir() for _ in range(b)])
+            if self.rir_list and self.cfg.reverb_proportion > 0
+            else None
+        )
+        return clean, noise, rir
+
+    def batches(self, num_batches: Optional[int] = None, key=None) -> Iterator[dict]:
+        """Yield jitted-mixed device batches."""
+        steps = num_batches if num_batches is not None else max(1, self.length // self.cfg.batch_size)
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            clean, noise, rir = self.host_batch()
+            if rir is None:
+                noisy, target = self._mix_no_rir(sub, jnp.asarray(clean), jnp.asarray(noise))
+            else:
+                noisy, target = self._mix(sub, jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(rir))
+            batch = {"noisy": noisy, "clean": target}
+            if self.cfg.valid_mode:
+                batch["name"] = [f"synth_{i:05d}_{j:03d}" for j in range(self.cfg.batch_size)]
+            yield batch

@@ -1,0 +1,4 @@
+"""Inference framework (L5): batch enhancement + streaming-causal path, RTF."""
+
+from cruse_tpu.infer.batch import BatchInferencer, InferencerConfig  # noqa: F401
+from cruse_tpu.infer.streaming import StreamingEnhancer  # noqa: F401

@@ -1,0 +1,100 @@
+"""Batch inferencer: enhancement strategies + RTF measurement + wav output.
+
+Mirror of BaseInferencer (train_base/inferencer/base_inferencer.py:23-196):
+config-driven model/checkpoint load, per-utterance enhancement via a named
+strategy method, range warning, int16 scaling at 0.8 FS, RTF logging, wav
+writing. Strategies cover the reference's `multi_channel_mag_to_mag` plus
+single-channel magnitude-mask and cIRM paths.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cruse_tpu.dsp.stft import StftConfig, stft, istft, istft_mag_phase, mc_stft
+from cruse_tpu.dsp.mask import decompress_cirm, complex_mul
+from cruse_tpu.data.wavio import write_wav, to_int16_scaled
+from cruse_tpu.utils.logger import log
+
+
+@dataclasses.dataclass
+class InferencerConfig:
+    type: str = "mag_to_mag"  # strategy method name
+    sr: int = 16000
+    stft: StftConfig = StftConfig(n_fft=320, hop_length=160)
+    output_dir: str = "enhanced"
+    reference_channel: int = 0
+
+
+class BatchInferencer:
+    """Enhance an iterable of (noisy, name) pairs with a trained model."""
+
+    def __init__(self, model, variables, config: InferencerConfig):
+        self.model = model
+        self.variables = variables
+        self.cfg = config
+        assert hasattr(self, config.type), f"Not implemented Inferencer type: {config.type}"
+        self._strategy = jax.jit(getattr(self, config.type))
+        self.enhanced_dir = Path(config.output_dir).expanduser().absolute()
+        self.enhanced_dir.mkdir(parents=True, exist_ok=True)
+        self.rtf_history: list[float] = []
+
+    # ---- strategies (each: [B(, C), L] noisy -> [B, L] enhanced) ----
+
+    def mag_to_mag(self, noisy: jax.Array) -> jax.Array:
+        """Magnitude in, masked magnitude out, noisy phase reconstruction."""
+        spec = stft(noisy, self.cfg.stft)
+        feat = self.model.compress(jnp.abs(spec))
+        mask, _ = self.model.apply(self.variables, feat)
+        mag = jnp.abs(spec) * mask
+        phase = jnp.angle(spec)
+        return istft_mag_phase(mag, phase, self.cfg.stft, length=noisy.shape[-1])
+
+    def complex_mask(self, noisy: jax.Array) -> jax.Array:
+        """Model emits a compressed cIRM [B, T, F, 2]; decompress and apply."""
+        spec = stft(noisy, self.cfg.stft)
+        feat = self.model.compress(jnp.abs(spec))
+        crm, _ = self.model.apply(self.variables, feat)
+        crm = decompress_cirm(crm)
+        r, i = complex_mul(jnp.real(spec), jnp.imag(spec), crm[..., 0], crm[..., 1])
+        return istft((r, i), self.cfg.stft, length=noisy.shape[-1])
+
+    def multi_channel_mag_to_mag(self, noisy: jax.Array) -> jax.Array:
+        """[B, C, L]: model sees all channel mags, output uses the reference
+        channel's phase (base_inferencer.py:139-161)."""
+        specs = mc_stft(noisy, self.cfg.stft)  # [B, C, T, F]
+        mags = jnp.abs(specs)
+        enhanced_mag, _ = self.model.apply(self.variables, self.model.compress(mags))
+        ref = specs[:, self.cfg.reference_channel]
+        phase = jnp.angle(ref)
+        return istft_mag_phase(enhanced_mag, phase, self.cfg.stft, length=noisy.shape[-1])
+
+    # ---- driver ----
+
+    def __call__(self, dataloader: Iterable, write: bool = True) -> list:
+        """dataloader yields dicts {"noisy": [1(, C), L], "name": [str]}.
+        Returns list of (name, enhanced np.int16, rtf)."""
+        results = []
+        for batch in dataloader:
+            noisy = jnp.asarray(batch["noisy"])
+            name = batch["name"][0] if isinstance(batch.get("name"), (list, tuple)) else batch.get("name", "utt")
+            t1 = time.time()
+            enhanced = np.asarray(self._strategy(noisy))
+            t2 = time.time()
+            enhanced = enhanced[0]
+            if (np.abs(enhanced) > 1).any():
+                log(f"Warning: enhanced is not in the range [-1, 1], {name}")
+            scaled = to_int16_scaled(enhanced)
+            rtf = (t2 - t1) / (len(enhanced) / self.cfg.sr)
+            self.rtf_history.append(rtf)
+            log(f"{name}, rtf: {rtf}")
+            if write:
+                write_wav(str(self.enhanced_dir / f"{name}.wav"), scaled, self.cfg.sr)
+            results.append((name, scaled, rtf))
+        return results

@@ -1,0 +1,135 @@
+"""Frame-by-frame streaming enhancement (low-latency causal path).
+
+The per-hop step carries:
+- the last ``n_fft - hop`` input samples (analysis frame assembly)
+- the model's streaming state (conv histories + GRU hidden)
+- the overlap-add tail of the synthesis frames
+
+Each step does: assemble frame -> windowed DFT (one small matmul) -> model
+T=1 step -> mask -> windowed iDFT -> OLA -> emit ``hop`` samples normalized
+by the steady-state window envelope. Matches the offline ``center=False``
+batch path after the OLA warmup (tested), which is the reference's streaming
+conv-STFT contract (feature.py:272-398).
+
+`run()` drives a whole utterance under `lax.scan` (throughput measurement);
+`step()` is the real-time API (per-frame RTF, base_inferencer.py:188-190).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cruse_tpu.dsp.stft import StftConfig, _analysis_kernel, _synthesis_kernel, _padded_window
+
+
+class StreamState(NamedTuple):
+    input_tail: jax.Array  # [B, n_fft - hop]
+    ola_tail: jax.Array  # [B, n_fft - hop]
+    model_state: Any
+
+
+def _steady_envelope(cfg: StftConfig) -> np.ndarray:
+    """Steady-state OLA of the squared window, periodic over one hop."""
+    w2 = _padded_window(cfg) ** 2
+    n, hop = cfg.n_fft, cfg.hop_length
+    env = np.zeros(hop)
+    for j in range(hop):
+        env[j] = w2[j::hop].sum()
+    return np.where(env > 1e-11, env, 1.0).astype(np.float32)
+
+
+class StreamingEnhancer:
+    def __init__(self, model, variables, cfg: StftConfig):
+        assert not cfg.center, "streaming path uses center=False configs"
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        f = cfg.num_bins
+        self._ana = jnp.asarray(np.asarray(_analysis_kernel(cfg))[:, 0, :].T)  # [N, 2F]
+        self._syn = jnp.asarray(np.asarray(_synthesis_kernel(cfg))[:, 0, :])  # [2F, N]
+        self._env_hop = jnp.asarray(_steady_envelope(cfg))
+        self._num_bins = f
+        self._step_jit = jax.jit(self._step_impl)
+
+    def init_state(self, batch_size: int) -> StreamState:
+        n, hop = self.cfg.n_fft, self.cfg.hop_length
+        return StreamState(
+            input_tail=jnp.zeros((batch_size, n - hop)),
+            ola_tail=jnp.zeros((batch_size, n - hop)),
+            model_state=self.model.init_state(batch_size),
+        )
+
+    def prime(self, state: StreamState, samples: jax.Array) -> StreamState:
+        """Pre-fill the analysis buffer with the utterance's first
+        ``n_fft - hop`` samples. After priming, step-by-step output is
+        bit-identical to the offline center=False batch path (without
+        priming, the stream starts from a zero buffer and output is delayed
+        by one hop -- the usual real-time behavior)."""
+        n, hop = self.cfg.n_fft, self.cfg.hop_length
+        assert samples.shape[-1] == n - hop, (samples.shape, n - hop)
+        return state._replace(input_tail=samples.astype(state.input_tail.dtype))
+
+    def _step_impl(self, state: StreamState, hop_samples: jax.Array):
+        hop, f = self.cfg.hop_length, self._num_bins
+        frame = jnp.concatenate([state.input_tail, hop_samples], axis=-1)  # [B, n]
+        ri = frame @ self._ana  # [B, 2F] windowed DFT
+        real, imag = ri[:, :f], ri[:, f:]
+        mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
+        feat = self.model.compress(mag)[:, None, :]  # [B, 1, F]
+        mask, model_state = self.model.apply(self.variables, feat, state.model_state)
+        m = mask[:, 0, :]
+        enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
+        synth = enh_ri @ self._syn  # [B, n] windowed inverse frame
+        ola = jnp.concatenate([state.ola_tail, jnp.zeros_like(hop_samples)], axis=-1) + synth
+        out = ola[:, :hop] / self._env_hop
+        return out, StreamState(
+            input_tail=frame[:, hop:],
+            ola_tail=ola[:, hop:],
+            model_state=model_state,
+        )
+
+    def step(self, state: StreamState, hop_samples: jax.Array):
+        """One real-time hop. hop_samples: [B, hop] -> ([B, hop], new state)."""
+        return self._step_jit(state, hop_samples)
+
+    def run(self, wav: jax.Array) -> jax.Array:
+        """Enhance a whole utterance with the streaming path under lax.scan.
+
+        Primed with the first ``n_fft - hop`` samples so the output aligns
+        exactly with the offline center=False batch path. wav: [B, L];
+        returns [B, hop * num_frames] (= L - (n_fft - hop), rounded to hop).
+        """
+        b, length = wav.shape
+        n, hop = self.cfg.n_fft, self.cfg.hop_length
+        state = self.prime(self.init_state(b), wav[:, : n - hop])
+        rest = wav[:, n - hop :]
+        num_hops = rest.shape[-1] // hop
+        hops = rest[:, : num_hops * hop].reshape(b, num_hops, hop).transpose(1, 0, 2)
+
+        def scan_step(carry, x):
+            out, new_carry = self._step_impl(carry, x)
+            return new_carry, out
+
+        _, outs = lax.scan(scan_step, state, hops)
+        return outs.transpose(1, 0, 2).reshape(b, num_hops * hop)
+
+    def measure_rtf(self, wav: np.ndarray, sr: int = 16000, num_frames: int = 50) -> float:
+        """Per-frame real-time factor of the jitted streaming step (reference
+        RTF semantics: processing time / audio time; < 1 means real-time)."""
+        b = wav.shape[0]
+        hop = self.cfg.hop_length
+        state = self.init_state(b)
+        out, state = self.step(state, jnp.asarray(wav[:, :hop]))  # compile
+        jax.block_until_ready(out)
+        num = min(num_frames, wav.shape[1] // hop - 1)
+        t0 = time.perf_counter()
+        for i in range(1, num + 1):
+            out, state = self.step(state, jnp.asarray(wav[:, i * hop : (i + 1) * hop]))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return (dt / num) / (hop / sr)

@@ -1,0 +1,93 @@
+"""Metric registry + composite best-score rule.
+
+Mirrors REGISTERED_METRICS (train_base/metrics.py:129-135): SI_SDR, STOI,
+WB_PESQ, NB_PESQ (+SDR, ESTOI). PESQ/MOSNet bind lazily to their external
+packages exactly like the reference did (metrics.py:89-125); when absent they
+are reported unavailable rather than breaking the registry.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+from cruse_tpu.metrics.sisdr import si_sdr, sdr
+from cruse_tpu.metrics.stoi import stoi, estoi
+
+
+def _wb_pesq(reference, estimation, sr=16000):
+    from pesq import pesq as _pesq  # external, like the reference's dep
+
+    if sr != 16000:
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(16000, sr)
+        reference = resample_poly(reference, 16000 // g, sr // g)
+        estimation = resample_poly(estimation, 16000 // g, sr // g)
+    return _pesq(16000, np.asarray(reference), np.asarray(estimation), "wb")
+
+
+def _nb_pesq(reference, estimation, sr=16000):
+    from pesq import pesq as _pesq
+
+    return _pesq(8000 if sr == 8000 else 16000, np.asarray(reference), np.asarray(estimation), "nb")
+
+
+def _mosnet(reference, estimation, sr=16000):
+    import speechmetrics  # lazy, heavy (metrics.py:114-125)
+
+    model = speechmetrics.load("mosnet", None)
+    return float(np.mean(model(estimation, rate=sr)["mosnet"]))
+
+
+REGISTERED_METRICS: Dict[str, Callable] = {
+    "SI_SDR": si_sdr,
+    "SDR": sdr,
+    "STOI": stoi,
+    "ESTOI": estoi,
+    "WB_PESQ": _wb_pesq,
+    "NB_PESQ": _nb_pesq,
+    "MOSNET": _mosnet,
+}
+
+_NATIVE = {"SI_SDR", "SDR", "STOI", "ESTOI"}
+
+
+def available_metrics() -> Dict[str, bool]:
+    out = {}
+    for name in REGISTERED_METRICS:
+        if name in _NATIVE:
+            out[name] = True
+        elif name in ("WB_PESQ", "NB_PESQ"):
+            try:
+                import pesq  # noqa: F401
+
+                out[name] = True
+            except ImportError:
+                out[name] = False
+        else:
+            try:
+                import speechmetrics  # noqa: F401
+
+                out[name] = True
+            except ImportError:
+                out[name] = False
+    return out
+
+
+def compute_metric(name: str, reference, estimation, sr=16000):
+    if name not in REGISTERED_METRICS:
+        raise KeyError(f"{name} is not registered; available: {sorted(REGISTERED_METRICS)}")
+    return REGISTERED_METRICS[name](reference, estimation, sr=sr)
+
+
+def composite_score(metric_means: Dict[str, float]) -> float:
+    """Best-model selection score: (STOI + (WB_PESQ + 0.5)/5) / 2
+    (base_trainer.py:370-376). Falls back to STOI alone when PESQ is not
+    available in the environment (the formula's PESQ term is skipped, and the
+    score stays in [0, 1])."""
+    stoi_mean = metric_means.get("STOI", 0.0)
+    if "WB_PESQ" in metric_means:
+        return (stoi_mean + (metric_means["WB_PESQ"] + 0.5) / 5.0) / 2.0
+    return stoi_mean

@@ -171,8 +171,10 @@ class CruseNet(nn.Module):
         for li in range(c.num_levels):
             # encoder level li consumes [B, ctx, F_li, C_li*kt-stacked] history
             conv_hist.append(jnp.zeros((batch_size, ctx, fs[li], in_chs[li]), dtype))
-        ggru = GGRUBottleneck(groups=c.rnn_groups)
-        gru_state = ggru.init_state(batch_size, self.config.bottleneck_dim, dtype)
+        # GGRU bottleneck state: two banks of [B, G, D/G] hidden (built
+        # directly -- constructing the submodule here would escape the scope)
+        g_shape = (batch_size, c.rnn_groups, c.bottleneck_dim // c.rnn_groups)
+        gru_state = (jnp.zeros(g_shape, dtype), jnp.zeros(g_shape, dtype))
         dec_hist = []
         dec_in_chs = list(c.channels[::-1])
         for li in range(c.num_levels):

@@ -1,0 +1,239 @@
+"""The concrete trainer: epoch loop, validation scoring, checkpointing, TB.
+
+Implements the trainer the reference implies but never ships (SURVEY.md §2.2:
+`BaseTrainer` is abstract and the concrete subclass is absent). Semantics
+follow base_trainer.py:378-424: train epoch -> periodic checkpoint ->
+periodic validation -> best tracking via the composite score; an
+`only_validation` debug mode skips training.
+
+TPU specifics: the jitted SPMD train step does fwd+balancer-bwd+update in one
+XLA program; validation enhancement is jitted per utterance-batch; objective
+metrics (STOI/SI-SDR, PESQ when available) run on a host thread pool so the
+chip never waits on scoring.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cruse_tpu.dsp.stft import StftConfig, stft, istft
+from cruse_tpu.metrics.registry import REGISTERED_METRICS, available_metrics, composite_score
+from cruse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint, preload_params
+from cruse_tpu.train.step import StepConfig, TrainState, init_train_state, make_train_step
+from cruse_tpu.utils.logger import log
+from cruse_tpu.utils.timing import ExecutionTime
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 100
+    steps_per_epoch: int = 100
+    save_checkpoint_interval: int = 1
+    validation_interval: int = 1
+    save_max_metric_score: bool = True
+    metrics: tuple = ("STOI", "SI_SDR")
+    save_dir: str = "runs/exp"
+    experiment_name: str = "cruse"
+    only_validation: bool = False
+    visualization_examples: int = 3
+    num_metric_workers: int = 10
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        step_config: StepConfig,
+        trainer_config: TrainerConfig,
+        train_batches: Optional[Iterable] = None,
+        validation_batches: Optional[Iterable] = None,
+        resume: bool = False,
+        preload_path: str | None = None,
+        example_feat=None,
+        rng=None,
+        writer=None,
+    ):
+        self.model = model
+        self.step_cfg = step_config
+        self.cfg = trainer_config
+        self.train_batches = train_batches
+        self.validation_batches = validation_batches
+        self.scfg = step_config.stft
+
+        self.save_dir = Path(trainer_config.save_dir).expanduser().absolute() / trainer_config.experiment_name
+        self.checkpoints_dir = self.save_dir / "checkpoints"
+        self.logs_dir = self.save_dir / "logs"
+        self.checkpoints_dir.mkdir(parents=True, exist_ok=True)
+        self.logs_dir.mkdir(parents=True, exist_ok=True)
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        assert example_feat is not None, "example_feat required to init params"
+        self.state = init_train_state(model, step_config, rng, example_feat)
+        self.start_epoch = 1
+        self.best_score = -np.inf if trainer_config.save_max_metric_score else np.inf
+
+        if resume:
+            self.state, self.start_epoch, self.best_score = restore_checkpoint(
+                self.checkpoints_dir, self.state
+            )
+            log(f"Checkpoint loaded; training resumes at epoch {self.start_epoch}.")
+        elif preload_path:
+            self.state = self.state._replace(params=preload_params(preload_path, self.state.params))
+            log(f"Model preloaded from {preload_path}.")
+
+        self._train_step = jax.jit(make_train_step(model, step_config), donate_argnums=0)
+        self._enhance = jax.jit(self._enhance_fn)
+        self.writer = writer
+        if self.writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(self.logs_dir.as_posix(), max_queue=5, flush_secs=30)
+            except Exception:
+                self.writer = None
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
+        log(f"Model parameters: {n_params / 1e6:.3f} million.")
+
+    # ---- enhancement used by validation ----
+
+    def _enhance_fn(self, params, batch_stats, noisy):
+        spec = stft(noisy, self.scfg)
+        feat = self.model.compress(jnp.abs(spec))
+        mask, _ = self.model.apply({"params": params, "batch_stats": batch_stats}, feat)
+        return istft(spec * mask, self.scfg, length=noisy.shape[-1])
+
+    # ---- epochs ----
+
+    def _train_epoch(self, epoch: int) -> None:
+        assert self.train_batches is not None, "no training data configured"
+        running = {}
+        count = 0
+        for i, batch in enumerate(self.train_batches):
+            self.state, metrics = self._train_step(self.state, {"noisy": batch["noisy"], "clean": batch["clean"]})
+            count += 1
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+            if i + 1 >= self.cfg.steps_per_epoch:
+                break
+        for k, v in running.items():
+            mean = v / max(count, 1)
+            if self.writer:
+                self.writer.add_scalar(f"Train/{k}", mean, epoch)
+            log(f"  epoch {epoch} {k}: {mean:.5f}")
+
+    def _validation_epoch(self, epoch: int) -> float:
+        assert self.validation_batches is not None, "no validation data configured"
+        noisy_list, clean_list, enhanced_list, names = [], [], [], []
+        for batch in self.validation_batches:
+            enhanced = self._enhance(self.state.params, self.state.batch_stats, batch["noisy"])
+            noisy_np = np.asarray(batch["noisy"])
+            clean_np = np.asarray(batch["clean"])
+            enh_np = np.asarray(enhanced)
+            for j in range(noisy_np.shape[0]):
+                noisy_list.append(noisy_np[j])
+                clean_list.append(clean_np[j])
+                enhanced_list.append(enh_np[j])
+                names.append(batch.get("name", [f"v{len(names)}"] * noisy_np.shape[0])[j])
+        score = self.metrics_visualization(
+            noisy_list, clean_list, enhanced_list, list(self.cfg.metrics), epoch
+        )
+        for j in range(min(self.cfg.visualization_examples, len(names))):
+            self.spec_audio_visualization(noisy_list[j], enhanced_list[j], clean_list[j], names[j], epoch)
+        return score
+
+    # ---- scoring & visualization (base_trainer.py:272-376 equivalents) ----
+
+    def metrics_visualization(self, noisy_list, clean_list, enhanced_list, metrics_list, epoch) -> float:
+        avail = available_metrics()
+        metrics_list = [m for m in metrics_list if avail.get(m, False)]
+        assert "STOI" in metrics_list, "'STOI' must be present (drives best-model score)"
+        sr = self.scfg.hop_length and 16000  # framework default sr
+        means = {}
+        with ThreadPoolExecutor(max_workers=self.cfg.num_metric_workers) as pool:
+            for metric_name in metrics_list:
+                fn = REGISTERED_METRICS[metric_name]
+                on_noisy = list(pool.map(lambda p: fn(p[0], p[1], sr=sr), zip(clean_list, noisy_list)))
+                on_enhanced = list(pool.map(lambda p: fn(p[0], p[1], sr=sr), zip(clean_list, enhanced_list)))
+                mean_noisy = float(np.mean(on_noisy))
+                mean_enh = float(np.mean(on_enhanced))
+                means[metric_name] = mean_enh
+                if self.writer:
+                    self.writer.add_scalars(
+                        f"Validation/{metric_name}", {"Noisy": mean_noisy, "Enhanced": mean_enh}, epoch
+                    )
+                log(f"  {metric_name}: noisy {mean_noisy:.4f} -> enhanced {mean_enh:.4f}")
+        return composite_score(means)
+
+    def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, mark="") -> None:
+        if self.writer is None:
+            return
+        sr = 16000
+        self.writer.add_audio(f"{mark}Speech/{name}_Noisy", noisy[None], epoch, sample_rate=sr)
+        self.writer.add_audio(f"{mark}Speech/{name}_Enhanced", enhanced[None], epoch, sample_rate=sr)
+        self.writer.add_audio(f"{mark}Speech/{name}_Clean", clean[None], epoch, sample_rate=sr)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(3, 1, figsize=(6, 6))
+            for k, wav in enumerate([noisy, enhanced, clean]):
+                # host-side numpy STFT: the viz path must not touch the device
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    np.asarray(wav), self.scfg.n_fft
+                )[:: self.scfg.hop_length]
+                win = np.hanning(self.scfg.n_fft)
+                spec = np.abs(np.fft.rfft(frames * win, axis=-1)).T
+                mag_db = 20 * np.log10(spec + 1e-8)
+                axes[k].set_title(
+                    f"mean: {spec.mean():.3f}, std: {spec.std():.3f}, "
+                    f"max: {spec.max():.3f}, min: {spec.min():.3f}"
+                )
+                axes[k].imshow(mag_db, origin="lower", aspect="auto", cmap="magma")
+            plt.tight_layout()
+            self.writer.add_figure(f"{mark}Spectrogram/{name}", fig, epoch)
+            plt.close(fig)
+        except Exception as e:  # visualization must never kill training
+            log(f"spectrogram figure failed: {e}")
+
+    def _is_best_epoch(self, score: float) -> bool:
+        if self.cfg.save_max_metric_score and score >= self.best_score:
+            self.best_score = score
+            return True
+        if not self.cfg.save_max_metric_score and score <= self.best_score:
+            self.best_score = score
+            return True
+        return False
+
+    def train(self) -> None:
+        for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+            log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
+
+            if self.cfg.only_validation:
+                score = self._validation_epoch(epoch)
+                if self._is_best_epoch(score):
+                    save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, True)
+                continue
+
+            timer = ExecutionTime()
+            self._train_epoch(epoch)
+
+            if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
+                save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
+
+            if epoch % self.cfg.validation_interval == 0:
+                log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
+                score = self._validation_epoch(epoch)
+                if self._is_best_epoch(score):
+                    save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, True)
+
+            log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")

@@ -1,0 +1,135 @@
+"""Data pipeline: wav IO round trip, mixing invariants, manifests, dataset."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cruse_tpu.data.wavio import read_wav, write_wav, to_int16_scaled
+from cruse_tpu.data.manifest import load_manifest, parse_snr_range, offset_and_limit, write_manifest
+from cruse_tpu.data.mixer import MixerConfig, mix_single, mix_batch, add_reverb, fft_convolve
+from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    y = np.clip(rng.standard_normal(16000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, y, 16000)
+    back, sr = read_wav(p)
+    assert sr == 16000
+    # write scales by 32767, read divides by 32768 -> ~2 LSB worst case
+    np.testing.assert_allclose(back, y, atol=1e-4)
+
+
+def test_wav_resample(tmp_path, rng):
+    y = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    p = str(tmp_path / "b.wav")
+    write_wav(p, y, 8000)
+    back, sr = read_wav(p, sr=16000)
+    assert sr == 16000
+    assert abs(len(back) - 16000) <= 2
+
+
+def test_int16_scaling(rng):
+    y = rng.standard_normal(1000).astype(np.float32)
+    s = to_int16_scaled(y)
+    assert s.dtype == np.int16
+    assert np.abs(s).max() <= int(0.8 * 32767) + 1
+
+
+def test_manifest(tmp_path):
+    paths = [f"/x/{i}.wav" for i in range(10)]
+    mp = str(tmp_path / "m.txt")
+    write_manifest(paths, mp)
+    assert load_manifest(mp) == paths
+    assert offset_and_limit(paths, 2, 3) == paths[2:5]
+    assert parse_snr_range([-5, -3]) == [-5, -4, -3]
+    with pytest.raises(AssertionError):
+        parse_snr_range([5, 3])
+
+
+def test_fft_convolve_matches_numpy(rng):
+    x = rng.standard_normal(500).astype(np.float32)
+    h = rng.standard_normal(64).astype(np.float32)
+    ours = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(h)))
+    ref = np.convolve(x, h)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_add_reverb_early_target(rng):
+    sr = 16000
+    clean = rng.standard_normal(sr).astype(np.float32)
+    rir = np.zeros(3200, np.float32)
+    rir[100] = 1.0  # direct path
+    rir[2000] = 0.5  # late reflection beyond 50 ms predelay
+    reverberant, early = add_reverb(jnp.asarray(clean), jnp.asarray(rir), 50.0, sr)
+    # early target excludes the late reflection
+    direct_only = np.zeros_like(clean)
+    direct_only[100:] = clean[:-100]
+    np.testing.assert_allclose(np.asarray(early), direct_only, atol=1e-3)
+    assert np.abs(np.asarray(reverberant) - np.asarray(early)).max() > 0.01
+
+
+def test_mix_single_snr_and_level(rng):
+    cfg = MixerConfig(snr_range=(5, 5), target_db_fs=-25.0, target_db_fs_floating=0.0)
+    clean = jnp.asarray(rng.standard_normal(16000).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal(16000).astype(np.float32))
+    noisy, target = mix_single(jax.random.PRNGKey(0), clean, noise, cfg)
+    noisy, target = np.asarray(noisy), np.asarray(target)
+    # mixed level == -25 dBFS
+    db = 20 * np.log10(np.sqrt(np.mean(noisy**2)))
+    assert abs(db - (-25.0)) < 0.5
+    # achieved SNR == 5 dB (clean part is `target` scaled)
+    noise_part = noisy - target
+    snr = 10 * np.log10(np.sum(target**2) / np.sum(noise_part**2))
+    assert abs(snr - 5.0) < 0.5
+    assert np.abs(noisy).max() <= 0.99 + 1e-5
+
+
+def test_mix_batch_distinct_examples(rng):
+    cfg = MixerConfig(snr_range=(-5, 20))
+    clean = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32))
+    noisy, target = jax.jit(lambda k, c, n: mix_batch(k, c, n, cfg))(
+        jax.random.PRNGKey(1), clean, noise
+    )
+    assert noisy.shape == (4, 8000)
+    # per-example randomness: SNRs differ across batch
+    snrs = []
+    for i in range(4):
+        noise_part = np.asarray(noisy[i]) - np.asarray(target[i])
+        snrs.append(10 * np.log10(np.sum(np.asarray(target[i]) ** 2) / np.sum(noise_part**2)))
+    assert np.std(snrs) > 0.5
+
+
+def _make_corpus(tmp_path, rng, n=4, seconds=1.0, sr=16000):
+    paths = []
+    for i in range(n):
+        y = (rng.standard_normal(int(seconds * sr)) * 0.3).astype(np.float32)
+        p = str(tmp_path / f"wav_{i}.wav")
+        write_wav(p, y, sr)
+        paths.append(p)
+    mf = str(tmp_path / "manifest.txt")
+    write_manifest(paths, mf)
+    return mf
+
+
+def test_syn_mix_dataset(tmp_path, rng):
+    clean_mf = _make_corpus(tmp_path / "clean", rng)
+    noise_mf = _make_corpus(tmp_path / "noise", rng)
+    ds = SynMixDataset(
+        SynMixConfig(
+            clean_manifest=clean_mf,
+            noise_manifest=noise_mf,
+            sub_sample_seconds=2.0,  # forces concat+silence (clips are 1 s)
+            batch_size=3,
+            dataset_length=6,
+        )
+    )
+    batches = list(ds.batches(num_batches=2))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["noisy"].shape == (3, 32000)
+        assert b["clean"].shape == (3, 32000)
+        assert np.isfinite(np.asarray(b["noisy"])).all()
+    # different batches must differ
+    assert np.abs(np.asarray(batches[0]["noisy"]) - np.asarray(batches[1]["noisy"])).max() > 1e-4

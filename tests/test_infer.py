@@ -1,0 +1,91 @@
+"""Inference: streaming == offline parity, RTF measurement, batch strategies."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cruse_tpu.dsp.stft import StftConfig, stft, istft
+from cruse_tpu.models import CruseNet, CruseConfig
+from cruse_tpu.infer.streaming import StreamingEnhancer, _steady_envelope
+from cruse_tpu.infer.batch import BatchInferencer, InferencerConfig
+
+
+def _model_and_vars(in_freq=161):
+    model = CruseNet(CruseConfig(in_freq=in_freq, channels=(4, 8, 8, 16), rnn_groups=4))
+    feat = jnp.zeros((1, 8, in_freq))
+    variables = model.init(jax.random.PRNGKey(0), feat)
+    return model, variables
+
+
+def test_steady_envelope_matches_offline_interior():
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    env = _steady_envelope(cfg)
+    assert env.shape == (160,)
+    assert (env > 0).all()
+    # matches the offline OLA envelope in the steady-state interior
+    from cruse_tpu.dsp.stft import _ola_envelope
+
+    offline = _ola_envelope(cfg, 10)
+    np.testing.assert_allclose(offline[480:640], env, rtol=1e-5)
+    # sqrt-hann squared at 50% overlap IS constant
+    scfg = StftConfig(n_fft=320, hop_length=160, window="sqrt_hann", center=False)
+    senv = _steady_envelope(scfg)
+    np.testing.assert_allclose(senv, senv[0], rtol=1e-5)
+
+
+def test_streaming_matches_offline(rng):
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model, variables = _model_and_vars()
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    streamed = np.asarray(enhancer.run(jnp.asarray(wav)))
+
+    # offline reference: same model, center=False stft/istft
+    spec = stft(jnp.asarray(wav), cfg)
+    feat = model.compress(jnp.abs(spec))
+    mask, _ = model.apply(variables, feat)
+    offline = np.asarray(istft(spec * mask, cfg))
+
+    # primed streaming aligns exactly with offline; compare past the OLA
+    # warmup (first n_fft samples where the offline envelope guard differs)
+    n = cfg.n_fft
+    m = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n], atol=1e-4)
+
+
+def test_streaming_step_api(rng):
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model, variables = _model_and_vars()
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    state = enhancer.init_state(1)
+    hop = jnp.asarray(rng.standard_normal((1, 160)).astype(np.float32))
+    out, state = enhancer.step(state, hop)
+    assert out.shape == (1, 160)
+    out2, state = enhancer.step(state, hop)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_streaming_rtf_measurement(rng):
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model, variables = _model_and_vars()
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)
+    rtf = enhancer.measure_rtf(wav, num_frames=10)
+    assert rtf > 0
+
+
+def test_batch_inferencer_mag_to_mag(tmp_path, rng):
+    model, variables = _model_and_vars()
+    cfg = InferencerConfig(
+        type="mag_to_mag",
+        stft=StftConfig(n_fft=320, hop_length=160),
+        output_dir=str(tmp_path / "enh"),
+    )
+    inf = BatchInferencer(model, variables, cfg)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    results = inf([{"noisy": wav, "name": ["utt1"]}])
+    name, enhanced, rtf = results[0]
+    assert name == "utt1"
+    assert enhanced.dtype == np.int16 and len(enhanced) == 16000
+    assert (tmp_path / "enh" / "utt1.wav").exists()
+    assert len(inf.rtf_history) == 1

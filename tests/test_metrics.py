@@ -1,0 +1,69 @@
+"""Metric sanity + monotonicity (STOI/SI-SDR native implementations)."""
+import numpy as np
+import pytest
+
+from cruse_tpu.metrics import si_sdr, sdr, stoi, composite_score, available_metrics
+from cruse_tpu.metrics.registry import compute_metric
+
+
+def test_si_sdr_identity(rng):
+    x = rng.standard_normal(16000)
+    assert si_sdr(x, x) > 80
+    assert si_sdr(x, 0.5 * x) > 80  # scale-invariant
+    assert sdr(x, x) > 80
+    assert sdr(x, 0.5 * x) < 10  # NOT scale-invariant
+
+
+def test_si_sdr_monotone_in_noise(rng):
+    x = rng.standard_normal(16000)
+    n = rng.standard_normal(16000)
+    vals = [si_sdr(x, x + a * n) for a in (0.01, 0.1, 0.5)]
+    assert vals[0] > vals[1] > vals[2]
+
+
+def _speechlike(rng, seconds=3.0, sr=16000):
+    """Modulated multi-tone signal (STOI needs speech-band energy)."""
+    t = np.arange(int(seconds * sr)) / sr
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t))  # 4 Hz modulation
+    sig = sum(np.sin(2 * np.pi * f * t) for f in (220, 440, 880, 1760))
+    return (env * sig / 4).astype(np.float64)
+
+
+def test_stoi_clean_is_high(rng):
+    x = _speechlike(rng)
+    s = stoi(x, x, 16000)
+    assert s > 0.95
+
+
+def test_stoi_monotone_in_noise(rng):
+    x = _speechlike(rng)
+    n = rng.standard_normal(len(x))
+    s_clean = stoi(x, x + 0.05 * n, 16000)
+    s_mid = stoi(x, x + 0.3 * n, 16000)
+    s_noisy = stoi(x, x + 1.5 * n, 16000)
+    assert s_clean > s_mid > s_noisy
+    assert 0 <= s_noisy <= 1.01
+
+
+def test_stoi_extended_runs(rng):
+    x = _speechlike(rng)
+    n = rng.standard_normal(len(x))
+    e = stoi(x, x + 0.2 * n, 16000, extended=True)
+    assert -1.0 <= e <= 1.0
+
+
+def test_composite_score():
+    # with PESQ present
+    assert composite_score({"STOI": 0.9, "WB_PESQ": 3.0}) == pytest.approx((0.9 + 3.5 / 5) / 2)
+    # fallback without PESQ
+    assert composite_score({"STOI": 0.9}) == pytest.approx(0.9)
+
+
+def test_registry_dispatch(rng):
+    x = rng.standard_normal(16000)
+    v = compute_metric("SI_SDR", x, x + 0.1 * rng.standard_normal(16000))
+    assert np.isfinite(v)
+    with pytest.raises(KeyError):
+        compute_metric("BOGUS", x, x)
+    avail = available_metrics()
+    assert avail["STOI"] and avail["SI_SDR"]

@@ -1,0 +1,159 @@
+"""MTFAA + BSRNN: shapes, causality, component parity."""
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cruse_tpu.models.mtfaa import (
+    MtfaaNet,
+    MtfaaConfig,
+    Banks,
+    linear_filter_banks,
+    PhaseEncoder,
+    TFCM,
+    AxialSelfAttention,
+)
+from cruse_tpu.models.bsrnn import BSRNN, BandSplit, MaskDecoder, apply_three_tap_mask, Discriminator, BAND_WIDTHS
+from cruse_tpu.nn.lstm import LSTM
+
+
+def test_lstm_matches_torch(rng):
+    b, t, i, h = 2, 12, 6, 10
+    x = rng.standard_normal((b, t, i)).astype(np.float32)
+    tl = torch.nn.LSTM(i, h, 1, batch_first=True)
+    model = LSTM(hidden_size=h)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = {k: w.detach().numpy() for k, w in tl.named_parameters()}
+    params = v["params"]
+    params["w_ih"] = jnp.asarray(p["weight_ih_l0"])
+    params["w_hh"] = jnp.asarray(p["weight_hh_l0"])
+    params["b_ih"] = jnp.asarray(p["bias_ih_l0"])
+    params["b_hh"] = jnp.asarray(p["bias_hh_l0"])
+    y, _ = model.apply(v, jnp.asarray(x))
+    with torch.no_grad():
+        ref, _ = tl(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y), ref.numpy(), atol=1e-5)
+
+
+def test_bilstm_matches_torch(rng):
+    b, t, i, h = 2, 8, 4, 6
+    x = rng.standard_normal((b, t, i)).astype(np.float32)
+    tl = torch.nn.LSTM(i, h, 1, batch_first=True, bidirectional=True)
+    model = LSTM(hidden_size=h, bidirectional=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = {k: w.detach().numpy() for k, w in tl.named_parameters()}
+    params = v["params"]
+    for sfx, tsfx in (("", "_l0"), ("_reverse", "_l0_reverse")):
+        params[f"w_ih{sfx}"] = jnp.asarray(p[f"weight_ih{tsfx}"])
+        params[f"w_hh{sfx}"] = jnp.asarray(p[f"weight_hh{tsfx}"])
+        params[f"b_ih{sfx}"] = jnp.asarray(p[f"bias_ih{tsfx}"])
+        params[f"b_hh{sfx}"] = jnp.asarray(p[f"bias_hh{tsfx}"])
+    y, _ = model.apply(v, jnp.asarray(x))
+    with torch.no_grad():
+        ref, _ = tl(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y), ref.numpy(), atol=1e-5)
+
+
+def test_linear_fbank_partition():
+    fb = linear_filter_banks(64, 512, 16000)
+    assert fb.shape == (64, 257)
+    assert (fb >= 0).all()
+    # interior bins are covered (triangles overlap to ~1)
+    coverage = fb.sum(axis=0)
+    assert coverage[10:-10].min() > 0.5
+
+
+def test_banks_roundtrip_quality(rng):
+    banks = Banks(128, 512, 16000)
+    amp = jnp.asarray(np.abs(rng.standard_normal((2, 10, 257))).astype(np.float32))
+    # reference quirk preserved: analysis is filter*1.3 while synthesis is
+    # pinv(filter) -> round trip carries the 1.3 factor (mtfaa.py:227-228)
+    rec = np.asarray(banks.bank2amp(banks.amp2bank(amp))) / 1.3
+    rel = np.linalg.norm(rec - np.asarray(amp)) / np.linalg.norm(np.asarray(amp))
+    assert rel < 0.75  # pinv projection of out-of-span noise is lossy
+    # smooth (band-limited) spectra reconstruct well
+    smooth = jnp.asarray(np.tile(np.linspace(1.0, 2.0, 257, dtype=np.float32), (1, 4, 1)))
+    rec2 = np.asarray(banks.bank2amp(banks.amp2bank(smooth))) / 1.3
+    rel2 = np.linalg.norm(rec2[0, 0, 5:-5] - np.asarray(smooth)[0, 0, 5:-5]) / np.linalg.norm(
+        np.asarray(smooth)[0, 0, 5:-5]
+    )
+    assert rel2 < 0.05
+
+
+def test_phase_encoder_shapes(rng):
+    pe = PhaseEncoder(cout=4, n_sig=1)
+    cspec = jnp.asarray(rng.standard_normal((2, 12, 65, 2)).astype(np.float32))
+    v = pe.init(jax.random.PRNGKey(0), [cspec])
+    out = pe.apply(v, [cspec])
+    assert out.shape == (2, 12, 65, 4)
+    assert (np.asarray(out) >= 0).all()  # it's a compressed magnitude
+
+
+def test_tfcm_residual_and_causal(rng):
+    tfcm = TFCM(8, num_layers=3)
+    x = rng.standard_normal((1, 20, 16, 8)).astype(np.float32)
+    v = tfcm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y1 = tfcm.apply(v, jnp.asarray(x))
+    assert y1.shape == x.shape
+    x2 = x.copy()
+    x2[:, 12:] *= 4.0
+    y2 = tfcm.apply(v, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(y1)[:, :12], np.asarray(y2)[:, :12], atol=1e-5)
+
+
+def test_asa_causal_in_time(rng):
+    asa = AxialSelfAttention(8, causal=True)
+    x = rng.standard_normal((1, 10, 6, 8)).astype(np.float32)
+    v = asa.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y1 = asa.apply(v, jnp.asarray(x))
+    x2 = x.copy()
+    x2[:, 6:] += 2.0
+    y2 = asa.apply(v, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(y1)[:, :6], np.asarray(y2)[:, :6], atol=1e-5)
+
+
+def test_mtfaa_full_forward(rng):
+    cfg = MtfaaConfig(n_fft=512, n_bands=64, channels=(8, 12, 16), tfcm_layers=2)
+    net = MtfaaNet(cfg)
+    cspec = jnp.asarray(rng.standard_normal((1, 12, 257, 2)).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), cspec)
+    out, mask = net.apply(v, cspec)
+    assert out.shape == (1, 12, 257) and out.dtype == jnp.complex64
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bsrnn_band_table():
+    assert sum(BAND_WIDTHS) == 257 and len(BAND_WIDTHS) == 31
+
+
+def test_three_tap_mask_identity(rng):
+    spec = jnp.asarray(
+        (rng.standard_normal((1, 4, 257)) + 1j * rng.standard_normal((1, 4, 257))).astype(np.complex64)
+    )
+    m = np.zeros((1, 4, 257, 3, 2), np.float32)
+    m[..., 1, 0] = 1.0  # center tap = 1 + 0j
+    out = apply_three_tap_mask(spec, jnp.asarray(m))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(spec), atol=1e-6)
+
+
+def test_bsrnn_forward(rng):
+    net = BSRNN(num_channel=16, num_layer=1)
+    spec = jnp.asarray(
+        (rng.standard_normal((1, 6, 257)) + 1j * rng.standard_normal((1, 6, 257))).astype(np.complex64)
+    )
+    v = net.init(jax.random.PRNGKey(0), spec)
+    out, _ = net.apply(v, spec)
+    assert out.shape == (1, 6, 257)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_discriminator(rng):
+    d = Discriminator(ndf=4)
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 32, 64))).astype(np.float32))
+    y = jnp.asarray(np.abs(rng.standard_normal((2, 32, 64))).astype(np.float32))
+    v = d.init(jax.random.PRNGKey(0), x, y)
+    out = d.apply(v, x, y)
+    assert out.shape == (2, 1)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1.2).all()

@@ -1,0 +1,147 @@
+"""Trainer loop: epochs, checkpoint trio, resume, best tracking, config system."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cruse_tpu.dsp.stft import StftConfig, stft
+from cruse_tpu.models import CruseNet, CruseConfig
+from cruse_tpu.train.step import StepConfig, init_train_state
+from cruse_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, preload_params
+from cruse_tpu.train.trainer import Trainer, TrainerConfig
+from cruse_tpu.utils.config import (
+    load_config,
+    save_config,
+    merge_config,
+    initialize_module,
+    AttrDict,
+)
+
+
+def _setup(rng, tmp_path, epochs=2):
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+    step_cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+    clean = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + noise), "clean": jnp.asarray(clean), "name": ["a", "b"]}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    tcfg = TrainerConfig(
+        epochs=epochs,
+        steps_per_epoch=2,
+        save_dir=str(tmp_path),
+        experiment_name="t",
+        metrics=("STOI", "SI_SDR"),
+        visualization_examples=0,
+    )
+    return model, step_cfg, tcfg, batch, feat
+
+
+def test_trainer_full_loop_and_resume(tmp_path, rng):
+    model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path)
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        writer=False or None,
+    )
+    trainer.writer = None  # keep the test filesystem-light
+    trainer.train()
+    ckpt = tmp_path / "t" / "checkpoints"
+    assert (ckpt / "latest").exists()
+    assert (ckpt / "best").exists()
+    assert (ckpt / "model_0002").exists()
+    assert int(trainer.state.step) == 4  # 2 epochs x 2 steps
+
+    # resume continues from epoch 3
+    trainer2 = Trainer(
+        model, step_cfg, TrainerConfig(**{**tcfg.__dict__, "epochs": 3}),
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        resume=True,
+    )
+    trainer2.writer = None
+    assert trainer2.start_epoch == 3
+    assert int(trainer2.state.step) == 4
+    trainer2.train()
+    assert int(trainer2.state.step) == 6
+
+
+def test_only_validation_mode(tmp_path, rng):
+    model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path, epochs=1)
+    tcfg.only_validation = True
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        validation_batches=[batch],
+        example_feat=feat,
+    )
+    trainer.writer = None
+    trainer.train()
+    assert int(trainer.state.step) == 0  # no training happened
+    assert (tmp_path / "t" / "checkpoints" / "best").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model, step_cfg, _, batch, feat = _setup(rng, tmp_path)
+    state = init_train_state(model, step_cfg, jax.random.PRNGKey(0), feat)
+    save_checkpoint(tmp_path / "ck", state, epoch=5, best_score=0.7, is_best_epoch=True)
+    restored, start_epoch, best = restore_checkpoint(tmp_path / "ck", state)
+    assert start_epoch == 6 and best == 0.7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_preload_tolerates_missing(tmp_path, rng):
+    model, step_cfg, _, batch, feat = _setup(rng, tmp_path)
+    state = init_train_state(model, step_cfg, jax.random.PRNGKey(0), feat)
+    save_checkpoint(tmp_path / "ck", state, epoch=1, best_score=0.0)
+    # template with an extra param entry -> kept from template
+    params2 = dict(jax.device_get(state.params))
+    params2["extra_layer"] = {"w": np.ones(3, np.float32)}
+    merged = preload_params(tmp_path / "ck" / "model_0001", params2)
+    np.testing.assert_allclose(merged["extra_layer"]["w"], np.ones(3))
+
+
+def test_config_system(tmp_path):
+    cfg = {
+        "meta": {"seed": 1, "use_amp": False, "experiment_name": "x"},
+        "acoustics": {"n_fft": 320, "hop_length": 160, "win_length": 320, "sr": 16000},
+        "model": {"path": "cruse_tpu.models.cruse.CruseConfig", "args": {"in_freq": 161}},
+    }
+    p = str(tmp_path / "c.toml")
+    save_config(cfg, p)
+    loaded = load_config(p)
+    assert loaded == cfg
+
+    merged = merge_config(cfg, {"acoustics": {"n_fft": 512}})
+    assert merged["acoustics"]["n_fft"] == 512
+    assert merged["acoustics"]["hop_length"] == 160
+    with pytest.raises(KeyError):
+        merge_config(cfg, {"bogus": 1})
+
+    obj = initialize_module(loaded["model"]["path"], loaded["model"]["args"])
+    assert obj.in_freq == 161
+    cls = initialize_module(loaded["model"]["path"], initialize=False)
+    assert cls.__name__ == "CruseConfig"
+
+
+def test_attrdict_and_yaml(tmp_path):
+    from cruse_tpu.utils.config import load_hparams, dump_hparams
+
+    d = AttrDict({"a": 1, "b": {"c": 2}})
+    assert d.a == 1 and d.b.c == 2
+    dump_hparams({"x": 1, "y": {"z": 2}}, str(tmp_path / "h.yaml"))
+    h = load_hparams(str(tmp_path / "h.yaml"))
+    assert h.y.z == 2
+
+
+def test_logger(tmp_path, capsys):
+    from cruse_tpu.utils import logger
+
+    logger.init(str(tmp_path / "log" / "train.log"))
+    logger.log("hello", "world")
+    logger.close()
+    text = (tmp_path / "log" / "train.log").read_text()
+    assert "hello world" in text

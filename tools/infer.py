@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Inference CLI: enhance a directory (or manifest) of wavs with a trained
+checkpoint, logging per-utterance RTF (reference tools flow,
+base_inferencer.py:164-196)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="cruse_tpu inferencer")
+    parser.add_argument("-C", "--configuration", required=True, help="Config (*.toml) used for training.")
+    parser.add_argument("-M", "--model_checkpoint_path", required=True, help="Checkpoint dir (orbax) to load.")
+    parser.add_argument("-I", "--input", required=True, help="Dir of wavs or manifest txt.")
+    parser.add_argument("-O", "--output_dir", required=True, help="Where to write enhanced wavs.")
+    parser.add_argument("--streaming", action="store_true", help="Use the frame-by-frame causal path.")
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.data.manifest import load_manifest
+    from cruse_tpu.data.wavio import read_wav, write_wav, to_int16_scaled
+    from cruse_tpu.infer.batch import BatchInferencer, InferencerConfig
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+    from cruse_tpu.models import CruseNet
+    from cruse_tpu.train.checkpoint import preload_params
+    from cruse_tpu.utils.config import load_config, initialize_module
+    from cruse_tpu.utils.logger import log
+
+    config = load_config(args.configuration)
+    ac = config["acoustics"]
+    sr = int(ac.get("sr", 16000))
+
+    model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
+    model = CruseNet(model_cfg)
+
+    # init + load params
+    feat = jnp.zeros((1, 8, model_cfg.in_freq))
+    variables = model.init(jax.random.PRNGKey(0), feat)
+    params = preload_params(args.model_checkpoint_path, variables["params"])
+    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+
+    inp = Path(args.input)
+    files = load_manifest(str(inp)) if inp.is_file() else sorted(str(p) for p in inp.glob("*.wav"))
+    assert files, f"no wavs found under {inp}"
+
+    if args.streaming:
+        scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
+        enhancer = StreamingEnhancer(model, variables, scfg)
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for f in files:
+            wav, _ = read_wav(f, sr=sr)
+            rtf = enhancer.measure_rtf(wav[None], sr=sr, num_frames=20)
+            out = np.asarray(enhancer.run(jnp.asarray(wav[None])))[0]
+            log(f"{Path(f).stem}, streaming rtf: {rtf}")
+            write_wav(str(out_dir / f"{Path(f).stem}.wav"), to_int16_scaled(out), sr)
+    else:
+        icfg = InferencerConfig(
+            type=config.get("inferencer", {}).get("type", "mag_to_mag"),
+            sr=sr,
+            stft=StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])),
+            output_dir=args.output_dir,
+        )
+        inferencer = BatchInferencer(model, variables, icfg)
+        batches = ({"noisy": read_wav(f, sr=sr)[0][None], "name": [Path(f).stem]} for f in files)
+        inferencer(batches)
+
+
+if __name__ == "__main__":
+    main()

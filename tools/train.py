@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Training CLI -- config-driven, the reference's tools/train_stand.py
+equivalent (argparse flags -C/-R/-V/-P preserved; -N num-GPUs becomes the
+device mesh shape since SPMD replaces mp.spawn-per-GPU).
+
+Config layout (TOML, see configs/cruse_base.toml):
+  [meta] seed, save_dir, experiment_name
+  [acoustics] n_fft, hop_length, win_length, sr
+  [model] path + args           (dotted path, reflection)
+  [train_dataset] / [validation_dataset]  args for SynMixConfig
+  [optimizer] lr, beta1, beta2
+  [trainer.train] epochs, steps_per_epoch, save_checkpoint_interval, clip_grad_norm_value
+  [trainer.validation] validation_interval, save_max_metric_score
+  [loss] weights table
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="cruse_tpu trainer")
+    parser.add_argument("-C", "--configuration", required=True, type=str, help="Configuration (*.toml).")
+    parser.add_argument("-R", "--resume", action="store_true", help="Resume the experiment from latest checkpoint.")
+    parser.add_argument("-V", "--only_validation", action="store_true", help="Only run validation (debug).")
+    parser.add_argument("-N", "--num_devices", type=int, default=0, help="Devices for the data axis (0 = all).")
+    parser.add_argument("-P", "--preloaded_model_path", type=str, default=None, help="Warm-start params path.")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+    from cruse_tpu.train.step import StepConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+    from cruse_tpu.utils.config import load_config, initialize_module
+    from cruse_tpu.utils.logger import init as log_init, log
+
+    config = load_config(args.configuration)
+    exp_name = config["meta"].get(
+        "experiment_name", os.path.splitext(os.path.basename(args.configuration))[0]
+    )
+    config["meta"]["experiment_name"] = exp_name
+
+    seed = int(config["meta"].get("seed", 0))
+    random.seed(seed)
+    np.random.seed(seed)
+
+    save_dir = os.path.join(os.path.expanduser(config["meta"].get("save_dir", "runs")), exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    log_init(os.path.join(save_dir, "train.log"))
+    log(f"devices: {jax.devices()}")
+
+    ac = config["acoustics"]
+    scfg = StftConfig(
+        n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), win_length=int(ac.get("win_length", ac["n_fft"]))
+    )
+
+    model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
+    from cruse_tpu.models import CruseNet
+
+    model = CruseNet(model_cfg) if type(model_cfg).__name__ == "CruseConfig" else model_cfg
+
+    opt = config.get("optimizer", {})
+    tr = config.get("trainer", {}).get("train", {})
+    va = config.get("trainer", {}).get("validation", {})
+    loss_weights = tuple(config.get("loss", {}).get("weights", {"si_snr": 1.0, "spec": 1.0}).items())
+    step_cfg = StepConfig(
+        stft=scfg,
+        learning_rate=float(opt.get("lr", 5e-4)),
+        beta1=float(opt.get("beta1", 0.9)),
+        beta2=float(opt.get("beta2", 0.999)),
+        clip_grad_norm=float(tr.get("clip_grad_norm_value", 10.0)),
+        loss_weights=loss_weights,
+    )
+
+    train_ds = SynMixDataset(SynMixConfig(**config["train_dataset"]["args"]))
+    valid_ds = SynMixDataset(SynMixConfig(**{**config["validation_dataset"]["args"], "valid_mode": True}))
+
+    tcfg = TrainerConfig(
+        epochs=int(tr.get("epochs", 100)),
+        steps_per_epoch=int(tr.get("steps_per_epoch", 100)),
+        save_checkpoint_interval=int(tr.get("save_checkpoint_interval", 1)),
+        validation_interval=int(va.get("validation_interval", 1)),
+        save_max_metric_score=bool(va.get("save_max_metric_score", True)),
+        save_dir=config["meta"].get("save_dir", "runs"),
+        experiment_name=exp_name,
+        only_validation=args.only_validation,
+    )
+
+    example = next(iter(train_ds.batches(num_batches=1)))
+    feat = model.compress(jnp.abs(stft(example["noisy"], scfg)))
+    trainer = Trainer(
+        model,
+        step_cfg,
+        tcfg,
+        train_batches=train_ds.batches(num_batches=tcfg.steps_per_epoch * tcfg.epochs),
+        validation_batches=list(valid_ds.batches(num_batches=2)),
+        resume=args.resume,
+        preload_path=args.preloaded_model_path,
+        example_feat=feat,
+        rng=jax.random.PRNGKey(seed),
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
