@@ -77,6 +77,51 @@ def activity_detector(audio, fs=16000, activity_threshold=0.13, target_level=-25
     return float(np.mean(smoothed > activity_threshold))
 
 
+def amplitude_vad(y, sr=16000, frame_ms=20, threshold_db=-45.0, hangover_frames=4):
+    """RNNoise-style per-frame amplitude VAD with hangover
+    (utils/utils.py:186-214 intent, completed). Host numpy; returns a
+    per-frame {0,1} array."""
+    y = np.asarray(y, np.float64)
+    n = int(sr * frame_ms / 1000)
+    num = len(y) // n
+    frames = y[: num * n].reshape(num, n)
+    db = 20 * np.log10(np.sqrt(np.mean(frames**2, axis=1)) + 1e-12)
+    raw = db > threshold_db
+    vad = raw.copy()
+    hang = 0
+    for i in range(num):
+        if raw[i]:
+            hang = hangover_frames
+        elif hang > 0:
+            vad[i] = True
+            hang -= 1
+    return vad.astype(np.float32)
+
+
+def spectral_band_vad(y, sr=16000, n_fft=320, hop=160, band_hz=(300.0, 5000.0),
+                      threshold_db=-50.0):
+    """Speech-band energy VAD (the `vad_simplify` demo, utils/utils.py:106-140):
+    per-frame energy restricted to the speech band vs the utterance peak."""
+    y = np.asarray(y, np.float64)
+    frames = np.lib.stride_tricks.sliding_window_view(y, n_fft)[::hop]
+    mag2 = np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    band = (freqs >= band_hz[0]) & (freqs <= band_hz[1])
+    energy = mag2[:, band].sum(axis=1)
+    db = 10 * np.log10(energy / (energy.max() + 1e-12) + 1e-12)
+    return (db > threshold_db).astype(np.float32)
+
+
+def vad_statistics(vad_flags) -> dict:
+    """Corpus activity statistics (`statist_vad` intent, with the
+    string-counting bug fixed: count actual active flags)."""
+    flags = np.asarray(vad_flags, np.float64)
+    return {
+        "frames": int(flags.size),
+        "active_fraction": float(flags.mean()) if flags.size else 0.0,
+    }
+
+
 def frame_vad(mag, threshold_db=-60.0):
     """Per-frame binary VAD from a magnitude spectrogram [..., T, F] (device).
 

@@ -8,3 +8,14 @@ masks/filters applied to the noisy STFT. Every model exposes:
 """
 
 from cruse_tpu.models.cruse import CruseNet, CruseConfig  # noqa: F401
+from cruse_tpu.models.dfsmn import DfsmnNet, DfsmnBlock  # noqa: F401
+from cruse_tpu.models.deep_filter import DeepFilterHead, deep_filter_apply  # noqa: F401
+from cruse_tpu.models.mtfaa import MtfaaNet, MtfaaConfig  # noqa: F401
+from cruse_tpu.models.bsrnn import BSRNN, Discriminator  # noqa: F401
+
+MODEL_REGISTRY = {
+    "cruse": CruseNet,
+    "dfsmn": DfsmnNet,
+    "mtfaa": MtfaaNet,
+    "bsrnn": BSRNN,
+}

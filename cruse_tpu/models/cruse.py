@@ -39,6 +39,8 @@ class CruseConfig:
     fstride: int = 2
     rnn_groups: int = 4
     skip_convs: bool = True
+    decoder_mode: str = "transposed"  # "transposed" | "upsample" (the
+    # CRUSE4MagAddSkipUpsample variant, model/cruse.py:14-15 intended design)
     mask_activation: str = "sigmoid"
     feature_compression: str = "pow"  # "pow" | "log1p" | "none"
     compression_exponent: float = 0.3
@@ -136,14 +138,26 @@ class CruseNet(nn.Module):
                 x_ext = jnp.pad(x, ((0, 0), (ctx, 0), (0, 0), (0, 0)))
             dec_hist_out.append(x_ext[:, x_ext.shape[1] - ctx :])
             is_last = li == len(out_channels) - 1
-            x = CausalConvTranspose2dTimeMajor(
-                features=ch,
-                kernel=c.kernel,
-                fstride=c.fstride,
-                norm=not is_last,
-                act=None if is_last else nn.relu,
-                name=f"dec_{li}",
-            )(x_ext, train=train)
+            if c.decoder_mode == "upsample":
+                # nearest-neighbor freq upsample + causal conv (the
+                # mag-CRUSE skip-upsample variant)
+                target_f = self.config.freq_sizes()[level]
+                x_up = jnp.repeat(x_ext, c.fstride, axis=2)[:, :, :target_f]
+                x_up = jnp.pad(x_up, ((0, 0), (0, 0), (1, 1), (0, 0)))
+                x = nn.Conv(ch, (kt, 3), padding="VALID", name=f"dec_{li}_conv")(x_up)
+                if not is_last:
+                    x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                     epsilon=1e-5, name=f"dec_{li}_bn")(x)
+                    x = nn.relu(x)
+            else:
+                x = CausalConvTranspose2dTimeMajor(
+                    features=ch,
+                    kernel=c.kernel,
+                    fstride=c.fstride,
+                    norm=not is_last,
+                    act=None if is_last else nn.relu,
+                    name=f"dec_{li}",
+                )(x_ext, train=train)
 
         mask = x[..., 0]
         if c.mask_activation == "sigmoid":
