@@ -46,6 +46,8 @@ class SynMixConfig:
     eq_proportion: float = 0.0
     seed: int = 0
     valid_mode: bool = False
+    use_native_io: bool = True  # threaded C++ decode/resample/crop when built
+    native_threads: int = 8
 
 
 class SynMixDataset:
@@ -125,11 +127,40 @@ class SynMixDataset:
             rir[:n] = wav[:n]
         return rir
 
+    def _native_select(self, file_list: List[str], b: int):
+        """Fast path: the C++ pool decodes/resamples/crops one random file per
+        row; rows whose file is shorter than the crop (or unreadable) fall
+        back to the python concat+silence path."""
+        from cruse_tpu.data import native
+
+        paths = [file_list[self.rng.integers(len(file_list))] for _ in range(b)]
+        batch, ok = native.load_batch(
+            paths, self.sub_len, self.cfg.sr,
+            seed=int(self.rng.integers(2**62)), threads=self.cfg.native_threads,
+        )
+        for i in range(b):
+            # short files leave zero tails; rebuild those rows host-side
+            if not ok[i] or np.abs(batch[i, -self.cfg.sr // 10 :]).max() == 0.0:
+                batch[i] = self._select_concat(file_list, self.sub_len)
+        return batch
+
     def host_batch(self):
         """Assemble one host-side batch of raw (clean, noise, rir) arrays."""
         b = self.cfg.batch_size
-        clean = np.stack([self._select_concat(self.clean_list, self.sub_len) for _ in range(b)])
-        noise = np.stack([self._select_concat(self.noise_list, self.sub_len) for _ in range(b)])
+        use_native = False
+        if self.cfg.use_native_io:
+            try:
+                from cruse_tpu.data import native
+
+                use_native = native.available()
+            except Exception:
+                use_native = False
+        if use_native:
+            clean = self._native_select(self.clean_list, b)
+            noise = self._native_select(self.noise_list, b)
+        else:
+            clean = np.stack([self._select_concat(self.clean_list, self.sub_len) for _ in range(b)])
+            noise = np.stack([self._select_concat(self.noise_list, self.sub_len) for _ in range(b)])
         rir = (
             np.stack([self._select_rir() for _ in range(b)])
             if self.rir_list and self.cfg.reverb_proportion > 0

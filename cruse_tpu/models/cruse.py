@@ -44,6 +44,8 @@ class CruseConfig:
     mask_activation: str = "sigmoid"
     feature_compression: str = "pow"  # "pow" | "log1p" | "none"
     compression_exponent: float = 0.3
+    emit_features: bool = False  # also return the bottleneck output (for
+    # auxiliary heads like deep filtering)
 
     @property
     def num_levels(self) -> int:
@@ -65,18 +67,22 @@ class CruseConfig:
         return self.freq_sizes()[-1] * self.channels[-1]
 
 
+def compress_mag(mag: jax.Array, cfg: CruseConfig) -> jax.Array:
+    """Feature compression (module-free: safe to call from anywhere)."""
+    if cfg.feature_compression == "pow":
+        return jnp.power(jnp.maximum(mag, 1e-12), cfg.compression_exponent)
+    if cfg.feature_compression == "log1p":
+        return jnp.log1p(mag)
+    return mag
+
+
 class CruseNet(nn.Module):
     """Mask-estimating CRUSE network. Input mag features [B, T, F]."""
 
     config: CruseConfig = CruseConfig()
 
     def compress(self, mag: jax.Array) -> jax.Array:
-        c = self.config
-        if c.feature_compression == "pow":
-            return jnp.power(jnp.maximum(mag, 1e-12), c.compression_exponent)
-        if c.feature_compression == "log1p":
-            return jnp.log1p(mag)
-        return mag
+        return compress_mag(mag, self.config)
 
     @nn.compact
     def __call__(self, feat: jax.Array, state=None, train: bool = False):
@@ -164,7 +170,10 @@ class CruseNet(nn.Module):
             mask = nn.sigmoid(mask)
         elif c.mask_activation == "relu":
             mask = nn.relu(mask)
-        return mask, (tuple(conv_hist_out), gru_state, tuple(dec_hist_out))
+        new_state = (tuple(conv_hist_out), gru_state, tuple(dec_hist_out))
+        if c.emit_features:
+            return (mask, y), new_state  # y: bottleneck output [B, T, D]
+        return mask, new_state
 
     @staticmethod
     def _time_conv_view(x_ext: jax.Array, kt: int) -> jax.Array:
@@ -177,24 +186,28 @@ class CruseNet(nn.Module):
         return jnp.concatenate(taps, axis=-1)
 
     def init_state(self, batch_size: int, dtype=jnp.float32):
-        c = self.config
-        ctx = c.kernel[0] - 1
-        fs = self.config.freq_sizes()
-        conv_hist = []
-        in_chs = [1] + list(c.channels[:-1])
-        for li in range(c.num_levels):
-            # encoder level li consumes [B, ctx, F_li, C_li*kt-stacked] history
-            conv_hist.append(jnp.zeros((batch_size, ctx, fs[li], in_chs[li]), dtype))
-        # GGRU bottleneck state: two banks of [B, G, D/G] hidden (built
-        # directly -- constructing the submodule here would escape the scope)
-        g_shape = (batch_size, c.rnn_groups, c.bottleneck_dim // c.rnn_groups)
-        gru_state = (jnp.zeros(g_shape, dtype), jnp.zeros(g_shape, dtype))
-        dec_hist = []
-        dec_in_chs = list(c.channels[::-1])
-        for li in range(c.num_levels):
-            level = c.num_levels - 1 - li
-            dec_hist.append(jnp.zeros((batch_size, ctx, fs[level + 1], dec_in_chs[li]), dtype))
-        return tuple(conv_hist), gru_state, tuple(dec_hist)
+        return cruse_init_state(self.config, batch_size, dtype)
+
+
+def cruse_init_state(c: CruseConfig, batch_size: int, dtype=jnp.float32):
+    """Fresh streaming state (module-free helper)."""
+    ctx = c.kernel[0] - 1
+    fs = c.freq_sizes()
+    conv_hist = []
+    in_chs = [1] + list(c.channels[:-1])
+    for li in range(c.num_levels):
+        # encoder level li consumes [B, ctx, F_li, C_li] input history
+        conv_hist.append(jnp.zeros((batch_size, ctx, fs[li], in_chs[li]), dtype))
+    # GGRU bottleneck state: two banks of [B, G, D/G] hidden (built directly
+    # -- constructing the submodule here would escape the flax scope)
+    g_shape = (batch_size, c.rnn_groups, c.bottleneck_dim // c.rnn_groups)
+    gru_state = (jnp.zeros(g_shape, dtype), jnp.zeros(g_shape, dtype))
+    dec_hist = []
+    dec_in_chs = list(c.channels[::-1])
+    for li in range(c.num_levels):
+        level = c.num_levels - 1 - li
+        dec_hist.append(jnp.zeros((batch_size, ctx, fs[level + 1], dec_in_chs[li]), dtype))
+    return tuple(conv_hist), gru_state, tuple(dec_hist)
 
 
 class CausalConvTranspose2dTimeMajor(nn.Module):

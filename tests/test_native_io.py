@@ -1,0 +1,75 @@
+"""Native C++ IO core: build, decode parity, batch loader, dataset integration."""
+import numpy as np
+import pytest
+
+from cruse_tpu.data import native
+from cruse_tpu.data.wavio import read_wav, write_wav
+from cruse_tpu.data.manifest import write_manifest
+
+pytestmark = pytest.mark.skipif(not native.ensure_built(), reason="no C++ toolchain")
+
+
+def test_decode_parity_with_python(tmp_path, rng):
+    y = np.clip(rng.standard_normal(16000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, y, 16000)
+    n_out, sr = native.decode(p)
+    p_out, _ = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_array_equal(n_out, p_out)
+
+
+def test_decode_resample_quality(tmp_path):
+    sr_hi = 48000
+    t = np.arange(sr_hi) / sr_hi
+    y = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, y, sr_hi)
+    nat, sr = native.decode(p, sr=16000)
+    ref, _ = read_wav(p, sr=16000)
+    assert sr == 16000
+    m = min(len(nat), len(ref))
+    err = nat[200 : m - 200] - ref[200 : m - 200]
+    snr = 10 * np.log10(np.mean(ref[200 : m - 200] ** 2) / np.mean(err**2))
+    assert snr > 40.0
+
+
+def test_load_batch_deterministic_and_flagged(tmp_path, rng):
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"w{i}.wav")
+        write_wav(p, (rng.standard_normal(48000) * 0.2).astype(np.float32), 16000)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.wav"))
+    batch, ok = native.load_batch(paths, 16000, 16000, seed=7, threads=4)
+    assert batch.shape == (9, 16000)
+    assert ok[:8].all() and not ok[8]
+    np.testing.assert_array_equal(batch[8], 0.0)
+    batch2, _ = native.load_batch(paths, 16000, 16000, seed=7, threads=2)
+    np.testing.assert_array_equal(batch, batch2)
+    batch3, _ = native.load_batch(paths, 16000, 16000, seed=8, threads=2)
+    assert np.abs(batch[:8] - batch3[:8]).max() > 0
+
+
+def test_dataset_native_path(tmp_path, rng):
+    from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+
+    clean, noise = [], []
+    for i in range(4):
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, (rng.standard_normal(32000) * 0.2).astype(np.float32), 16000)
+        clean.append(p)
+        p = str(tmp_path / f"n{i}.wav")
+        write_wav(p, (rng.standard_normal(32000) * 0.2).astype(np.float32), 16000)
+        noise.append(p)
+    cm, nm = str(tmp_path / "c.txt"), str(tmp_path / "n.txt")
+    write_manifest(clean, cm)
+    write_manifest(noise, nm)
+    ds = SynMixDataset(
+        SynMixConfig(clean_manifest=cm, noise_manifest=nm, sub_sample_seconds=1.5,
+                     batch_size=4, use_native_io=True)
+    )
+    batch = next(iter(ds.batches(num_batches=1)))
+    assert batch["noisy"].shape == (4, 24000)
+    assert np.isfinite(np.asarray(batch["noisy"])).all()
+    assert np.abs(np.asarray(batch["noisy"])).max() > 1e-4
