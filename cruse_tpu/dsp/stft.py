@@ -121,10 +121,32 @@ def _ola_envelope(cfg: StftConfig, num_frames: int) -> np.ndarray:
     return env.astype(np.float32)
 
 
+def _frame_by_chunks(y: jax.Array, cfg: StftConfig) -> jax.Array:
+    """Frame [B, L] -> [B, T, n_fft] with reshapes + strided slices only.
+
+    Chunk the signal into g = gcd(n_fft, hop) blocks; every frame is K =
+    n_fft/g consecutive chunks starting at a multiple of s = hop/g. No
+    gather, no conv: XLA lowers this to cheap slices + one concat, feeding a
+    single big matmul (the DFT). The conv_transpose/strided-conv formulation
+    is pathological on TPU (input dilation by the stride).
+    """
+    import math
+
+    n, hop = cfg.n_fft, cfg.hop_length
+    g = math.gcd(n, hop)
+    s, k = hop // g, n // g
+    b, length = y.shape
+    t = 1 + (length - n) // hop
+    usable = (t - 1) * hop + n
+    chunks = y[:, :usable].reshape(b, usable // g, g)
+    parts = [chunks[:, c : c + (t - 1) * s + 1 : s] for c in range(k)]  # [B, T, g] each
+    return jnp.concatenate(parts, axis=-1)  # [B, T, n]
+
+
 def stft(y: jax.Array, cfg: StftConfig, dtype=jnp.float32) -> jax.Array:
     """Waveform [B, L] (or [L]) -> complex spectrum [B, T, F].
 
-    One fused strided conv: frame + window + DFT in a single MXU matmul.
+    Chunked framing + one MXU matmul against the windowed DFT basis.
     """
     squeeze = y.ndim == 1
     if squeeze:
@@ -133,18 +155,52 @@ def stft(y: jax.Array, cfg: StftConfig, dtype=jnp.float32) -> jax.Array:
     if cfg.center:
         p = cfg.n_fft // 2
         y = jnp.pad(y, ((0, 0), (p, p)), mode=cfg.pad_mode)
-    k = jnp.asarray(_analysis_kernel(cfg), dtype)
-    c = lax.conv_general_dilated(
-        y[:, None, :].astype(dtype),
-        k,
-        window_strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=_DN_1D,
-        precision=lax.Precision.HIGHEST,
-    )  # [B, 2F, T]
-    real, imag = jnp.split(c, 2, axis=1)
-    spec = lax.complex(real, imag).transpose(0, 2, 1)  # [B, T, F]
+    frames = _frame_by_chunks(y.astype(dtype), cfg)  # [B, T, N]
+    basis = jnp.asarray(_analysis_kernel(cfg)[:, 0, :].T, dtype)  # [N, 2F]
+    c = jnp.matmul(frames, basis, precision=lax.Precision.HIGHEST)  # [B, T, 2F]
+    f = cfg.num_bins
+    spec = lax.complex(c[..., :f], c[..., f:])
     return spec[0] if squeeze else spec
+
+
+def _overlap_add(frames: jax.Array, cfg: StftConfig) -> jax.Array:
+    """OLA [B, T, N] -> [B, hop*(T-1) + N] via chunk reshapes + shifted adds.
+
+    With g = gcd(n_fft, hop), s = hop/g, K = n_fft/g: frame t's chunk c lands
+    at chunk position t*s + c. Group chunk indices by residue r = c mod s:
+    within a residue class the target positions are disjoint strides, so the
+    class reduces to a shifted elementwise add and an interleave -- no
+    scatter, no conv_transpose (whose input dilation costs ~stride x the
+    FLOPs on TPU).
+    """
+    import math
+
+    b, t, n = frames.shape
+    hop = cfg.hop_length
+    g = math.gcd(n, hop)
+    s, k = hop // g, n // g
+    fr = frames.reshape(b, t, k, g)
+    # residue r stream covers positions r, r+s, ...: row p holds position p*s+r
+    streams = []
+    for r in range(s):
+        cs = [c for c in range(k) if c % s == r]
+        length = t + max((c - r) // s for c in cs) + 1 if cs else 0
+        acc = jnp.zeros((b, length, g), frames.dtype)
+        for c in cs:
+            off = (c - r) // s
+            acc = acc + jnp.pad(fr[:, :, c], ((0, 0), (off, length - t - off), (0, 0)))
+        streams.append(acc)
+    if s == 1:
+        y_chunks = streams[0]
+    else:
+        # interleave the residue streams: position j = p*s + r
+        max_rows = max(st.shape[1] for st in streams)
+        streams = [
+            jnp.pad(st, ((0, 0), (0, max_rows - st.shape[1]), (0, 0))) for st in streams
+        ]
+        y_chunks = jnp.stack(streams, axis=2).reshape(b, max_rows * s, g)
+    y = y_chunks.reshape(b, -1)[:, : (hop * (t - 1) + n)]
+    return y
 
 
 def _spec_to_ri(spec) -> jax.Array:
@@ -173,16 +229,11 @@ def istft(
     """
     ri = _spec_to_ri(spec).astype(dtype)  # [B, 2F, T]
     num_frames = ri.shape[-1]
-    k = jnp.asarray(_synthesis_kernel(cfg), dtype)
-    y = lax.conv_transpose(
-        ri,
-        k,
-        strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=_DN_1D,
-        transpose_kernel=True,
-        precision=lax.Precision.HIGHEST,
-    )[:, 0, :]  # [B, n_fft + hop*(T-1)]
+    basis = jnp.asarray(_synthesis_kernel(cfg)[:, 0, :], dtype)  # [2F, N]
+    frames = jnp.matmul(
+        ri.transpose(0, 2, 1), basis, precision=lax.Precision.HIGHEST
+    )  # [B, T, N] windowed synthesis frames
+    y = _overlap_add(frames, cfg)  # [B, n_fft + hop*(T-1)]
     env = jnp.asarray(_ola_envelope(cfg, num_frames), dtype)
     y = y / env
     if cfg.center:

@@ -36,6 +36,16 @@ def test_coeffs_match_scipy_butter_like():
     np.testing.assert_allclose(np.asarray(a), ab, atol=1e-5)
 
 
+def test_assoc_equals_sequential_scan(rng):
+    """log-depth associative recurrence == the sequential DF2T scan."""
+    x = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32))
+    for kind in ("low_pass", "peaking_eq", "high_shelf"):
+        b, a = biquad_coeffs(kind, 700.0, 4.0, 0.9, 16000.0)
+        y_scan = lfilter(x, b, a, method="scan")
+        y_assoc = lfilter(x, b, a, method="assoc")
+        np.testing.assert_allclose(np.asarray(y_assoc), np.asarray(y_scan), atol=1e-4)
+
+
 def test_sos_chain_equals_sequential_lfilter(rng):
     x = jnp.asarray(rng.standard_normal((3, 1500)).astype(np.float32))
     b1, a1 = biquad_coeffs("peaking_eq", 500.0, -4.0, 1.2, 16000.0)
