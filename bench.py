@@ -19,30 +19,72 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-BATCH = 32
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 SECONDS = 10
 SR = 16000
 ITERS = 20
 BASELINE_X_REALTIME = 5000.0
+MODEL = os.environ.get("BENCH_MODEL", "cruse")  # cruse | cruse_df | dfsmn
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 model compute (fp32 DSP);
+# set fp32 for the bit-parity configuration (tests/test_e2e_parity.py)
 
 
-def main():
-    from cruse_tpu.dsp.stft import StftConfig, stft, istft
-    from cruse_tpu.models import CruseNet, CruseConfig
-
-    cfg = StftConfig(n_fft=320, hop_length=160)
-    model = CruseNet(CruseConfig(in_freq=161))
+def _build(cfg):
+    """Returns (label, enhance_fn(variables, wav), variables)."""
+    from cruse_tpu.dsp.stft import stft, istft
+    from cruse_tpu.models import CruseNet, CruseConfig, DfsmnNet
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((BATCH, SECONDS * SR)).astype(np.float32) * 0.1)
-    feat_example = model.compress(jnp.abs(stft(wav, cfg)))
-    variables = model.init(jax.random.PRNGKey(0), feat_example)
+    if MODEL == "cruse_df":
+        from cruse_tpu.models.cruse_df import CruseDfConfig, CruseDfNet, apply_cruse_df
+
+        mcfg = CruseDfConfig()
+        model = CruseDfNet(mcfg)
+        feat = model.compress(jnp.abs(stft(wav, cfg)))
+        variables = model.init(jax.random.PRNGKey(0), feat)
+
+        def enhance(v, noisy):
+            spec = stft(noisy, cfg)
+            (mask, coefs), _ = model.apply(v, model.compress(jnp.abs(spec)))
+            return istft(apply_cruse_df(spec, mask, coefs, mcfg), cfg, length=noisy.shape[-1])
+
+        return "CRUSE+DF", enhance, variables, wav
+    if MODEL == "dfsmn":
+        model = DfsmnNet(in_freq=161, hidden_dim=256, num_blocks=6, right_frames=0)
+        feat = model.compress(jnp.abs(stft(wav, cfg)))
+        variables = model.init(jax.random.PRNGKey(0), feat)
+
+        def enhance(v, noisy):
+            spec = stft(noisy, cfg)
+            mask, _ = model.apply(v, model.compress(jnp.abs(spec)))
+            return istft(spec * mask, cfg, length=noisy.shape[-1])
+
+        return "DFSMN", enhance, variables, wav
+    model = CruseNet(CruseConfig(in_freq=161))
+    feat = model.compress(jnp.abs(stft(wav, cfg)))
+    variables = model.init(jax.random.PRNGKey(0), feat)
+    if DTYPE == "bf16":
+        variables = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables)
 
     def enhance(v, noisy):
-        spec = stft(noisy, cfg)
+        spec = stft(noisy, cfg)  # fp32 DSP
         feat = model.compress(jnp.abs(spec))
+        if DTYPE == "bf16":
+            feat = feat.astype(jnp.bfloat16)
         mask, _ = model.apply(v, feat)
-        return istft(spec * mask, cfg, length=noisy.shape[-1])
+        return istft(spec * mask.astype(jnp.float32), cfg, length=noisy.shape[-1])
+
+    return f"CRUSE/{DTYPE}", enhance, variables, wav
+
+
+def main():
+    from cruse_tpu.dsp.stft import StftConfig
+
+    cfg = StftConfig(n_fft=320, hop_length=160)
+    label, enhance, variables, wav = _build(cfg)
 
     @jax.jit
     def bench_loop(v, noisy):
@@ -77,7 +119,7 @@ def main():
             {
                 "metric": "audio_sec_enhanced_per_sec_per_chip",
                 "value": round(x_rt, 1),
-                "unit": "x realtime @16kHz (CRUSE mask + STFT/iSTFT)",
+                "unit": f"x realtime @16kHz ({label} + STFT/iSTFT, B={BATCH})",
                 "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
             }
         )

@@ -230,6 +230,16 @@ def random_eq_chain(key: jax.Array, x: jax.Array, num_filters: int = 3, sr: floa
     return sos_chain(x, jnp.stack(b_secs), jnp.stack(a_secs))
 
 
+def random_coef_filter(key: jax.Array, x: jax.Array, coef_range: float = 3.0 / 8.0) -> jax.Array:
+    """Random-coefficient 2nd-order filter (testRandSecFilter.py:129-137
+    `randFilt`): b, a ~ U(-r, r) with b0 = a0 = 1 -- a cheap spectral-tilt
+    augmentation."""
+    kb, ka = jax.random.split(key)
+    b = jnp.concatenate([jnp.ones(1), jax.random.uniform(kb, (2,), minval=-coef_range, maxval=coef_range)])
+    a = jnp.concatenate([jnp.ones(1), jax.random.uniform(ka, (2,), minval=-coef_range, maxval=coef_range)])
+    return lfilter(x, b, a)
+
+
 def hp_filter(x: jax.Array, key: jax.Array | None = None, sr: float = 16000.0, center_freq: float = 150.0) -> jax.Array:
     """Fixed-frequency highpass with random Q (audioAug.py:168-178)."""
     q = 1.0 if key is None else jax.random.uniform(key, (), minval=0.5, maxval=1.5)

@@ -215,6 +215,74 @@ def log_power_spectrum(mag, eps=1e-8):
     return jnp.log(jnp.square(mag) + eps)
 
 
+def channelwise_layer_norm(x, scale=None, bias=None, eps=1e-5, axis=-1):
+    """LayerNorm over the channel axis per (batch, time) position
+    (feature.py:401-420 ChannelWiseLayerNorm)."""
+    mu = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=axis, keepdims=True)
+    y = (x - mu) / jnp.sqrt(var + eps)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class DirectionalFeatureComputer:
+    """Multi-channel spatial feature front-end: LPS of a reference channel +
+    cos/sin IPD over mic pairs (feature.py:423-611 behavior, time-major).
+
+    Call with multi-channel waveforms [B, M, L]; returns
+    (features [B, T, D], magnitude, phase, real, imag) where D stacks the
+    normalized LPS (F) and each pair's IPD (P*F, + P*F when sin enabled).
+    `channel_stacked=True` instead returns [B, 1+P(, +P), T, F] channel-major
+    features (the ChannelDirectionalFeatureComputer variant).
+    """
+
+    def __init__(self, stft_config, mic_pairs, lps_channel=0, use_cos_ipd=True,
+                 use_sin_ipd=False, channel_stacked=False, eps=1e-8):
+        from cruse_tpu.dsp.stft import StftConfig  # noqa: F401 (type)
+
+        self.cfg = stft_config
+        self.mic_pairs = list(mic_pairs)
+        self.lps_channel = lps_channel
+        self.use_cos_ipd = use_cos_ipd
+        self.use_sin_ipd = use_sin_ipd
+        self.channel_stacked = channel_stacked
+        self.eps = eps
+
+    @property
+    def directional_feature_dim(self):
+        f = self.cfg.num_bins
+        if self.channel_stacked:
+            d = 1 + len(self.mic_pairs) * (1 + int(self.use_sin_ipd))
+        else:
+            d = f + len(self.mic_pairs) * f * (1 + int(self.use_sin_ipd))
+        return d
+
+    def __call__(self, y):
+        from cruse_tpu.dsp.stft import mc_stft
+
+        assert y.ndim == 3, f"[B, M, L] expected, got {y.shape}"
+        spec = mc_stft(y, self.cfg)  # [B, M, T, F]
+        real, imag = jnp.real(spec), jnp.imag(spec)
+        mag = jnp.sqrt(real**2 + imag**2 + self.eps)
+        phase = jnp.arctan2(imag, real)
+
+        lps = log_power_spectrum(mag[:, self.lps_channel], self.eps)  # [B, T, F]
+        ipds = ipd_features(phase, self.mic_pairs, use_sin=self.use_sin_ipd)  # [B, P(,2P), T, F]
+
+        if self.channel_stacked:
+            feats = jnp.concatenate([lps[:, None], ipds], axis=1)
+        else:
+            lps_n = channelwise_layer_norm(lps, axis=-1)
+            b, p, t, f = ipds.shape
+            feats = jnp.concatenate(
+                [lps_n, ipds.transpose(0, 2, 1, 3).reshape(b, t, p * f)], axis=-1
+            )
+        return feats, mag, phase, real, imag
+
+
 def ipd_features(phase, mic_pairs, use_sin=False):
     """cos/sin inter-phase differences over mic pairs.
 

@@ -114,9 +114,12 @@ class Trainer:
 
     def _train_epoch(self, epoch: int) -> None:
         assert self.train_batches is not None, "no training data configured"
+        # callables are re-invoked per epoch (fresh iterator); plain iterables
+        # are consumed across epochs (reference DataLoader-style)
+        batches = self.train_batches() if callable(self.train_batches) else self.train_batches
         running = {}
         count = 0
-        for i, batch in enumerate(self.train_batches):
+        for i, batch in enumerate(batches):
             self.state, metrics = self._train_step(self.state, {"noisy": batch["noisy"], "clean": batch["clean"]})
             count += 1
             for k, v in metrics.items():
@@ -131,8 +134,9 @@ class Trainer:
 
     def _validation_epoch(self, epoch: int) -> float:
         assert self.validation_batches is not None, "no validation data configured"
+        vbatches = self.validation_batches() if callable(self.validation_batches) else self.validation_batches
         noisy_list, clean_list, enhanced_list, names = [], [], [], []
-        for batch in self.validation_batches:
+        for batch in vbatches:
             enhanced = self._enhance(self.state.params, self.state.batch_stats, batch["noisy"])
             noisy_np = np.asarray(batch["noisy"])
             clean_np = np.asarray(batch["clean"])

@@ -108,3 +108,18 @@ def test_ipd_features(rng):
     phase = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 4, 50, 161)).astype(np.float32))
     out = F.ipd_features(phase, [(0, 1), (0, 2), (1, 3)], use_sin=True)
     assert out.shape == (2, 6, 50, 161)
+
+
+def test_directional_feature_computer(rng):
+    cfg = StftConfig(n_fft=320, hop_length=160)
+    comp = F.DirectionalFeatureComputer(cfg, mic_pairs=[(0, 1), (0, 2)], use_sin_ipd=False)
+    y = jnp.asarray(rng.standard_normal((2, 3, 8000)).astype(np.float32) * 0.1)
+    feats, mag, phase, real, imag = comp(y)
+    t = cfg.num_frames(8000)
+    assert feats.shape == (2, t, comp.directional_feature_dim)
+    assert mag.shape == (2, 3, t, cfg.num_bins)
+    # channel-stacked variant
+    comp2 = F.DirectionalFeatureComputer(cfg, [(0, 1)], channel_stacked=True, use_sin_ipd=True)
+    feats2, *_ = comp2(y)
+    assert feats2.shape == (2, 3, t, cfg.num_bins)  # 1 LPS + 1 cos + 1 sin
+    assert np.isfinite(np.asarray(feats2)).all()

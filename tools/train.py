@@ -102,7 +102,7 @@ def main():
         model,
         step_cfg,
         tcfg,
-        train_batches=train_ds.batches(num_batches=tcfg.steps_per_epoch * tcfg.epochs),
+        train_batches=lambda: train_ds.batches(num_batches=tcfg.steps_per_epoch),
         validation_batches=list(valid_ds.batches(num_batches=2)),
         resume=args.resume,
         preload_path=args.preloaded_model_path,
