@@ -75,6 +75,35 @@ class BatchInferencer:
         phase = jnp.angle(ref)
         return istft_mag_phase(enhanced_mag, phase, self.cfg.stft, length=noisy.shape[-1])
 
+    def enhance_long(self, noisy: jax.Array, chunk_seconds: float = 30.0) -> jax.Array:
+        """Memory-bounded enhancement of arbitrarily long audio: process 50%-
+        overlapping chunks with the batch strategy and stitch with averaged
+        overlap (the reference's `overlap_cat` chunking, feature.py:172-191).
+
+        noisy: [B, L]. Causal models give identical interiors per chunk; the
+        averaged overlap suppresses boundary transients.
+        """
+        from cruse_tpu.dsp.features import overlap_cat
+
+        sr = self.cfg.sr
+        chunk = int(chunk_seconds * sr)
+        chunk -= chunk % (2 * self.cfg.stft.hop_length)  # even + hop-aligned
+        length = noisy.shape[-1]
+        if length <= chunk:
+            return self._strategy(noisy)
+        hop = chunk // 2
+        # zero-pad so chunks tile exactly at 50% overlap (overlap_cat's contract)
+        num_hops = -(-(length - chunk) // hop)  # ceil
+        padded_len = num_hops * hop + chunk
+        noisy = jnp.pad(noisy, ((0, 0), (0, padded_len - length)))
+        starts = [i * hop for i in range(num_hops + 1)]
+        outs = [
+            self._strategy(jax.lax.dynamic_slice_in_dim(noisy, s, chunk, axis=-1))
+            for s in starts
+        ]
+        stitched = overlap_cat(outs)
+        return stitched[..., :length]
+
     # ---- driver ----
 
     def __call__(self, dataloader: Iterable, write: bool = True) -> list:

@@ -1,0 +1,151 @@
+"""MetricGAN training: a discriminator regresses an objective quality score
+and the generator chases the perfect score.
+
+The reference only sketches the pieces (testBSRNN.py: Discriminator,
+batch_pesq scorer, LearnableSigmoid); this wires them into an alternating
+training scheme:
+
+- D step: MSE( D(clean, clean), 1 ) + MSE( D(clean, enhanced), s ) where s is
+  the measured quality score of `enhanced` (normalized PESQ when available,
+  STOI otherwise -- scored on the host, outside jit)
+- G step: task losses (via the usual balancer path) + adv_weight *
+  MSE( D(clean, enhanced), 1 )
+
+Both steps are jitted; the host sits between them only to compute s.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from cruse_tpu.dsp.stft import StftConfig, stft, istft
+from cruse_tpu.models.bsrnn import Discriminator, batch_quality_scores
+from cruse_tpu.train.step import StepConfig, TrainState, init_train_state, make_optimizer
+from cruse_tpu.losses.sisnr import si_snr_loss
+
+
+class MetricGanState(NamedTuple):
+    gen: TrainState
+    disc_params: Any
+    disc_stats: Any  # spectral-norm power-iteration state
+    disc_opt: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class MetricGanConfig:
+    step: StepConfig = StepConfig()
+    disc_lr: float = 1e-4
+    adv_weight: float = 1.0
+    ndf: int = 16
+
+
+def init_metricgan_state(gen_model, disc: Discriminator, cfg: MetricGanConfig,
+                         rng, example_feat, example_mag) -> MetricGanState:
+    gen_state = init_train_state(gen_model, cfg.step, rng, example_feat)
+    dvars = disc.init(jax.random.fold_in(rng, 1), example_mag, example_mag)
+    disc_tx = optax.adam(cfg.disc_lr)
+    return MetricGanState(
+        gen=gen_state,
+        disc_params=dvars["params"],
+        disc_stats=dvars.get("batch_stats", {}),
+        disc_opt=disc_tx.init(dvars["params"]),
+    )
+
+
+def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig):
+    """Returns (enhance_fn, disc_step, gen_step) -- all jittable."""
+    scfg = cfg.step.stft
+    gen_tx = make_optimizer(cfg.step)
+    disc_tx = optax.adam(cfg.disc_lr)
+
+    def _mags(wav):
+        return jnp.abs(stft(wav, scfg))
+
+    @jax.jit
+    def enhance(state: MetricGanState, noisy):
+        spec = stft(noisy, scfg)
+        feat = gen_model.compress(jnp.abs(spec))
+        mask, _ = gen_model.apply(
+            {"params": state.gen.params, "batch_stats": state.gen.batch_stats}, feat
+        )
+        return istft(spec * mask, scfg, length=noisy.shape[-1])
+
+    @jax.jit
+    def disc_step(state: MetricGanState, clean, enhanced, scores):
+        clean_mag = _mags(clean)
+        enh_mag = _mags(enhanced)
+
+        def loss_fn(p):
+            dvars = {"params": p, "batch_stats": state.disc_stats}
+            d_clean, vars1 = disc.apply(dvars, clean_mag, clean_mag, True,
+                                        mutable=["batch_stats"])
+            dvars = {"params": p, "batch_stats": vars1["batch_stats"]}
+            d_enh, vars2 = disc.apply(dvars, clean_mag, enh_mag, True,
+                                      mutable=["batch_stats"])
+            loss = jnp.mean(jnp.square(d_clean - 1.0)) + jnp.mean(
+                jnp.square(d_enh - scores[:, None])
+            )
+            return loss, vars2["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.disc_params)
+        updates, new_opt = disc_tx.update(grads, state.disc_opt, state.disc_params)
+        new_params = optax.apply_updates(state.disc_params, updates)
+        return state._replace(disc_params=new_params, disc_stats=new_stats,
+                              disc_opt=new_opt), {"disc_loss": loss}
+
+    @jax.jit
+    def gen_step(state: MetricGanState, batch: Dict[str, jax.Array]):
+        noisy, clean = batch["noisy"], batch["clean"]
+        spec = stft(noisy, scfg)
+        feat = gen_model.compress(jnp.abs(spec))
+        clean_mag = _mags(clean)
+
+        def loss_fn(p):
+            (mask, _), new_vars = gen_model.apply(
+                {"params": p, "batch_stats": state.gen.batch_stats},
+                feat, None, True, mutable=["batch_stats"],
+            )
+            enhanced = istft(spec * mask, scfg, length=noisy.shape[-1])
+            task = si_snr_loss(enhanced, clean)
+            d_enh = disc.apply(
+                {"params": state.disc_params, "batch_stats": state.disc_stats},
+                clean_mag, _mags(enhanced),
+            )
+            adv = jnp.mean(jnp.square(d_enh - 1.0))
+            return task + cfg.adv_weight * adv, (new_vars["batch_stats"], task, adv)
+
+        (loss, (new_stats, task, adv)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.gen.params
+        )
+        updates, new_opt = gen_tx.update(grads, state.gen.opt_state, state.gen.params)
+        new_params = optax.apply_updates(state.gen.params, updates)
+        new_gen = state.gen._replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.gen.step + 1,
+        )
+        return state._replace(gen=new_gen), {
+            "gen_loss": loss, "task_loss": task, "adv_loss": adv
+        }
+
+    return enhance, disc_step, gen_step
+
+
+def metricgan_train_batch(state: MetricGanState, batch, steps, sr: int = 16000):
+    """One full alternation: enhance -> host quality scoring -> D step -> G
+    step. Returns (state, metrics)."""
+    enhance, disc_step, gen_step = steps
+    enhanced = enhance(state, batch["noisy"])
+    scores = batch_quality_scores(
+        list(np.asarray(batch["clean"])), list(np.asarray(enhanced)), sr=sr
+    )
+    if scores is None:  # PESQ refused (silence) -- skip D this round
+        metrics_d = {"disc_loss": jnp.nan}
+    else:
+        state, metrics_d = disc_step(state, batch["clean"], enhanced, jnp.asarray(scores))
+    state, metrics_g = gen_step(state, batch)
+    return state, {**metrics_d, **metrics_g}

@@ -26,7 +26,11 @@ import optax
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.losses.balancer import Balancer, BalancerState
 from cruse_tpu.losses.sisnr import si_snr_loss
-from cruse_tpu.losses.spectral import compressed_spectral_loss
+from cruse_tpu.losses.spectral import (
+    compressed_spectral_loss,
+    weighted_male_loss,
+    multi_res_spectral_loss,
+)
 
 
 class TrainState(NamedTuple):
@@ -106,13 +110,19 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
         enhanced_ri, vjp_fn, new_batch_stats = jax.vjp(model_out, state.params, has_aux=True)
 
         norm = clean.shape[0] * clean_spec.shape[1] * clean_spec.shape[2]
-        loss_fns = {
+        # balancer losses are functions of the enhanced RI spectrum only
+        # (si_snr/multi_res pull gradients back through the differentiable istft)
+        available = {
             "si_snr": lambda out: si_snr_loss(
                 istft((out[..., 0], out[..., 1]), scfg, length=length), clean
             ),
             "spec": lambda out: compressed_spectral_loss(out, clean_ri) / norm,
+            "wo_male": lambda out: weighted_male_loss(out, clean_ri, noisy_ri),
+            "multi_res": lambda out: multi_res_spectral_loss(
+                istft((out[..., 0], out[..., 1]), scfg, length=length), clean
+            ),
         }
-        loss_fns = {k: loss_fns[k] for k, _ in cfg.loss_weights}
+        loss_fns = {k: available[k] for k, _ in cfg.loss_weights}
 
         out_grad, losses, new_bal_state, metrics = balancer.output_cotangent(
             loss_fns, enhanced_ri, state.balancer_state

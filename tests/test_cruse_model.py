@@ -88,6 +88,27 @@ def test_train_step_decreases_loss(rng):
     assert int(state.step) == 8
 
 
+def test_train_step_alternate_losses(rng):
+    """wo_male + multi_res wiring through the balancer."""
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = _small_model()
+    cfg = StepConfig(
+        stft=scfg,
+        loss_weights=(("si_snr", 1.0), ("wo_male", 0.5), ("multi_res", 0.5)),
+    )
+    clean = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+    batch = {
+        "noisy": jnp.asarray(clean + rng.standard_normal((2, 3200)).astype(np.float32) * 0.1),
+        "clean": jnp.asarray(clean),
+    }
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    state, metrics = step(state, batch)
+    for k in ("loss_si_snr", "loss_wo_male", "loss_multi_res"):
+        assert np.isfinite(float(metrics[k])), k
+
+
 def test_batch_stats_update(rng):
     scfg = StftConfig(n_fft=320, hop_length=160)
     model = _small_model()

@@ -74,6 +74,25 @@ def test_streaming_rtf_measurement(rng):
     assert rtf > 0
 
 
+def test_enhance_long_matches_single_pass(tmp_path, rng):
+    """Chunked long-audio enhancement ~= one-shot on a causal model."""
+    model, variables = _model_and_vars()
+    cfg = InferencerConfig(
+        type="mag_to_mag",
+        stft=StftConfig(n_fft=320, hop_length=160),
+        output_dir=str(tmp_path / "x"),
+    )
+    inf = BatchInferencer(model, variables, cfg)
+    wav = jnp.asarray(rng.standard_normal((1, 48000)).astype(np.float32) * 0.1)
+    one_shot = np.asarray(inf._strategy(wav))
+    chunked = np.asarray(inf.enhance_long(wav, chunk_seconds=1.0))
+    assert chunked.shape == one_shot.shape
+    # interiors agree well; chunk-boundary/startup transients are averaged
+    err = np.abs(chunked - one_shot)
+    agree = 10 * np.log10(np.mean(one_shot**2) / (np.mean(err**2) + 1e-12))
+    assert agree > 15.0, f"chunked vs one-shot agreement {agree:.1f} dB"
+
+
 def test_batch_inferencer_mag_to_mag(tmp_path, rng):
     model, variables = _model_and_vars()
     cfg = InferencerConfig(

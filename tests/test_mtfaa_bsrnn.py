@@ -85,7 +85,7 @@ def test_phase_encoder_shapes(rng):
     pe = PhaseEncoder(cout=4, n_sig=1)
     cspec = jnp.asarray(rng.standard_normal((2, 12, 65, 2)).astype(np.float32))
     v = pe.init(jax.random.PRNGKey(0), [cspec])
-    out = pe.apply(v, [cspec])
+    out, _ = pe.apply(v, [cspec])
     assert out.shape == (2, 12, 65, 4)
     assert (np.asarray(out) >= 0).all()  # it's a compressed magnitude
 
@@ -94,11 +94,11 @@ def test_tfcm_residual_and_causal(rng):
     tfcm = TFCM(8, num_layers=3)
     x = rng.standard_normal((1, 20, 16, 8)).astype(np.float32)
     v = tfcm.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    y1 = tfcm.apply(v, jnp.asarray(x))
+    y1, _ = tfcm.apply(v, jnp.asarray(x))
     assert y1.shape == x.shape
     x2 = x.copy()
     x2[:, 12:] *= 4.0
-    y2 = tfcm.apply(v, jnp.asarray(x2))
+    y2, _ = tfcm.apply(v, jnp.asarray(x2))
     np.testing.assert_allclose(np.asarray(y1)[:, :12], np.asarray(y2)[:, :12], atol=1e-5)
 
 
@@ -106,11 +106,25 @@ def test_asa_causal_in_time(rng):
     asa = AxialSelfAttention(8, causal=True)
     x = rng.standard_normal((1, 10, 6, 8)).astype(np.float32)
     v = asa.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    y1 = asa.apply(v, jnp.asarray(x))
+    y1, _ = asa.apply(v, jnp.asarray(x))
     x2 = x.copy()
     x2[:, 6:] += 2.0
-    y2 = asa.apply(v, jnp.asarray(x2))
+    y2, _ = asa.apply(v, jnp.asarray(x2))
     np.testing.assert_allclose(np.asarray(y1)[:, :6], np.asarray(y2)[:, :6], atol=1e-5)
+
+
+def test_asa_streaming_matches_windowed_batch(rng):
+    asa = AxialSelfAttention(8, causal=True, window=4)
+    x = jnp.asarray(rng.standard_normal((2, 12, 6, 8)).astype(np.float32))
+    v = asa.init(jax.random.PRNGKey(0), x)
+    full, _ = asa.apply(v, x)
+    state = asa.init_stream_state(2, 6)
+    outs = []
+    for t in range(12):
+        y, state = asa.apply(v, x[:, t : t + 1], state)
+        outs.append(np.asarray(y))
+    stream = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(stream, np.asarray(full), atol=1e-5)
 
 
 def test_mtfaa_full_forward(rng):
@@ -118,9 +132,25 @@ def test_mtfaa_full_forward(rng):
     net = MtfaaNet(cfg)
     cspec = jnp.asarray(rng.standard_normal((1, 12, 257, 2)).astype(np.float32))
     v = net.init(jax.random.PRNGKey(0), cspec)
-    out, mask = net.apply(v, cspec)
+    (out, mask), _ = net.apply(v, cspec)
     assert out.shape == (1, 12, 257) and out.dtype == jnp.complex64
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mtfaa_streaming_matches_batch(rng):
+    cfg = MtfaaConfig(n_fft=512, n_bands=64, channels=(8, 12, 16), tfcm_layers=2,
+                      attention_window=4)
+    net = MtfaaNet(cfg)
+    cspec = jnp.asarray(rng.standard_normal((1, 10, 257, 2)).astype(np.float32) * 0.3)
+    v = net.init(jax.random.PRNGKey(0), cspec)
+    (full, mask_full), _ = net.apply(v, cspec)
+    state = net.init_state(1)
+    outs = []
+    for t in range(10):
+        (o, m), state = net.apply(v, cspec[:, t : t + 1], state)
+        outs.append(np.asarray(o))
+    stream = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(stream, np.asarray(full), atol=2e-4)
 
 
 def test_bsrnn_band_table():

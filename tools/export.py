@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint as a serialized, self-contained enhancement
+artifact (jax.export) + loader demo.
+
+The TPU-native analogue of the reference's ONNX-export deployment path:
+the exported blob embeds the full stft -> model -> mask -> istft graph with
+baked weights, reloadable without the model code.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="export enhancement graph")
+    parser.add_argument("-C", "--configuration", required=True)
+    parser.add_argument("-M", "--model_checkpoint_path", required=True)
+    parser.add_argument("-O", "--output", required=True, help="output .jaxexport blob")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--seconds", type=float, default=10.0)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from cruse_tpu.dsp.stft import StftConfig, stft, istft
+    from cruse_tpu.models import CruseNet
+    from cruse_tpu.train.checkpoint import preload_params
+    from cruse_tpu.utils.config import load_config, initialize_module
+    from cruse_tpu.utils.logger import log
+
+    config = load_config(args.configuration)
+    ac = config["acoustics"]
+    scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]))
+    sr = int(ac.get("sr", 16000))
+    model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
+    model = CruseNet(model_cfg)
+
+    length = int(args.seconds * sr)
+    feat = jnp.zeros((args.batch, scfg.num_frames(length), model_cfg.in_freq))
+    variables = model.init(jax.random.PRNGKey(0), feat)
+    params = preload_params(args.model_checkpoint_path, variables["params"])
+    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+
+    def forward(noisy):
+        spec = stft(noisy, scfg)
+        mask, _ = model.apply(variables, model.compress(jnp.abs(spec)))
+        return istft(spec * mask, scfg, length=noisy.shape[-1])
+
+    example = jnp.zeros((args.batch, length), jnp.float32)
+    exported = jexport.export(jax.jit(forward))(example)
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    log(f"exported {len(blob)/1e6:.2f} MB graph for input [{args.batch}, {length}] -> {args.output}")
+
+    # reload + smoke check
+    reloaded = jexport.deserialize(open(args.output, "rb").read())
+    out = reloaded.call(example)
+    assert out.shape == (args.batch, length)
+    log("reload check OK")
+
+
+if __name__ == "__main__":
+    main()
