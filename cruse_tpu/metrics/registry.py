@@ -13,6 +13,7 @@ import numpy as np
 
 from cruse_tpu.metrics.sisdr import si_sdr, sdr
 from cruse_tpu.metrics.stoi import stoi, estoi
+from cruse_tpu.metrics.pmos import pmos
 
 
 def _wb_pesq(reference, estimation, sr=16000):
@@ -46,12 +47,13 @@ REGISTERED_METRICS: Dict[str, Callable] = {
     "SDR": sdr,
     "STOI": stoi,
     "ESTOI": estoi,
+    "PMOS": pmos,  # native P.862-structured MOS proxy (see metrics/pmos.py)
     "WB_PESQ": _wb_pesq,
     "NB_PESQ": _nb_pesq,
     "MOSNET": _mosnet,
 }
 
-_NATIVE = {"SI_SDR", "SDR", "STOI", "ESTOI"}
+_NATIVE = {"SI_SDR", "SDR", "STOI", "ESTOI", "PMOS"}
 
 
 def available_metrics() -> Dict[str, bool]:
@@ -84,10 +86,11 @@ def compute_metric(name: str, reference, estimation, sr=16000):
 
 def composite_score(metric_means: Dict[str, float]) -> float:
     """Best-model selection score: (STOI + (WB_PESQ + 0.5)/5) / 2
-    (base_trainer.py:370-376). Falls back to STOI alone when PESQ is not
-    available in the environment (the formula's PESQ term is skipped, and the
-    score stays in [0, 1])."""
+    (base_trainer.py:370-376). When the external PESQ package is absent, the
+    native PMOS proxy (same [1, 4.64] range) substitutes; with neither,
+    STOI alone drives selection. The score stays in [0, 1]."""
     stoi_mean = metric_means.get("STOI", 0.0)
-    if "WB_PESQ" in metric_means:
-        return (stoi_mean + (metric_means["WB_PESQ"] + 0.5) / 5.0) / 2.0
+    mos = metric_means.get("WB_PESQ", metric_means.get("PMOS"))
+    if mos is not None:
+        return (stoi_mean + (mos + 0.5) / 5.0) / 2.0
     return stoi_mean

@@ -38,7 +38,7 @@ class TrainerConfig:
     save_checkpoint_interval: int = 1
     validation_interval: int = 1
     save_max_metric_score: bool = True
-    metrics: tuple = ("STOI", "SI_SDR")
+    metrics: tuple = ("STOI", "SI_SDR", "PMOS")
     save_dir: str = "runs/exp"
     experiment_name: str = "cruse"
     only_validation: bool = False

@@ -55,8 +55,29 @@ def test_stoi_extended_runs(rng):
 def test_composite_score():
     # with PESQ present
     assert composite_score({"STOI": 0.9, "WB_PESQ": 3.0}) == pytest.approx((0.9 + 3.5 / 5) / 2)
-    # fallback without PESQ
+    # PMOS substitutes when PESQ absent
+    assert composite_score({"STOI": 0.9, "PMOS": 3.0}) == pytest.approx((0.9 + 3.5 / 5) / 2)
+    # WB_PESQ wins over PMOS
+    assert composite_score({"STOI": 0.9, "WB_PESQ": 2.0, "PMOS": 4.0}) == pytest.approx((0.9 + 2.5 / 5) / 2)
+    # fallback without either
     assert composite_score({"STOI": 0.9}) == pytest.approx(0.9)
+
+
+def test_pmos_behavior(rng):
+    from cruse_tpu.metrics.pmos import pmos
+
+    x = _speechlike(rng)
+    n = rng.standard_normal(len(x))
+    assert pmos(x, x) > 4.5  # identity near top of range
+    assert pmos(x, 0.5 * x) > 4.5  # level-invariant
+    scores = []
+    for snr_db in (30, 15, 0):
+        a = 10 ** (-snr_db / 20) * np.std(x) / np.std(n)
+        scores.append(pmos(x, x + a * n))
+    assert scores[0] > scores[1] > scores[2]  # monotone in SNR
+    assert 1.0 <= scores[2] <= 2.2
+    # nonlinear distortion penalized
+    assert pmos(x, np.clip(x, -0.05, 0.05)) < 3.0
 
 
 def test_registry_dispatch(rng):
