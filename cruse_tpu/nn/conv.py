@@ -172,6 +172,7 @@ class ConvKxF(nn.Module):
             groups = 1
         if self.complex_in and groups % 2 == 0:
             groups //= 2
+        t_in = x.shape[1]
         # causal time pad
         x = jnp.pad(x, ((0, 0), (self.k - 1 - self.lookahead, self.lookahead), (0, 0), (0, 0)))
         stride = 1 if self.f == 1 else self.fstride
@@ -195,8 +196,10 @@ class ConvKxF(nn.Module):
                 use_bias=bias,
                 name="sconv",
             )(x)
+            # input was causal-padded by k-1 and VALID convT adds k-1 more:
+            # keep the [k-1, k-1+T) window (torch padding=(k-1, .) semantics)
             if self.k > 1:
-                x = x[:, : x.shape[1] - (self.k - 1)]
+                x = x[:, self.k - 1 : self.k - 1 + t_in]
             if fpad_ > 0:
                 x = x[:, :, fpad_ : x.shape[2] - fpad_]
         elif self.mode == "upsample":

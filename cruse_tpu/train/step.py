@@ -51,6 +51,9 @@ class StepConfig:
     loss_weights: tuple = (("si_snr", 1.0), ("spec", 1.0))
     balancer_ema: float = 0.999
     rescale_grads: bool = True
+    skip_nonfinite_updates: bool = True  # NaN/Inf gradient guard: drop the
+    # update instead of poisoning the params (the reference only *logged*
+    # NaNs, train_base/utils.py:48-50)
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
@@ -76,16 +79,52 @@ def init_train_state(model, cfg: StepConfig, rng, example_feat) -> TrainState:
     )
 
 
-def make_train_step(model, cfg: StepConfig) -> Callable:
+def mask_model_forward(model):
+    """Default adapter: model consumes compressed magnitude features and
+    emits a magnitude mask applied to the noisy spectrum."""
+
+    def forward(params, batch_stats, noisy_ri):
+        mag = jnp.sqrt(noisy_ri[..., 0] ** 2 + noisy_ri[..., 1] ** 2 + 1e-12)
+        feat = model.compress(mag)
+        (mask, _), new_vars = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feat, None, True, mutable=["batch_stats"],
+        )
+        return noisy_ri * mask[..., None], new_vars["batch_stats"]
+
+    return forward
+
+
+def complex_model_forward(model):
+    """Adapter for models that consume the RI spectrum and emit the enhanced
+    complex spectrum directly (MTFAA, BSRNN)."""
+
+    def forward(params, batch_stats, noisy_ri):
+        ret, new_vars = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            noisy_ri, None, True, mutable=["batch_stats"],
+        )
+        enhanced = ret[0]  # drop the model's state slot
+        if isinstance(enhanced, tuple):  # (enhanced, aux) e.g. MTFAA's mask
+            enhanced = enhanced[0]
+        if jnp.iscomplexobj(enhanced):
+            enhanced = jnp.stack([jnp.real(enhanced), jnp.imag(enhanced)], axis=-1)
+        return enhanced, new_vars["batch_stats"]
+
+    return forward
+
+
+def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> Callable:
     """Build the jittable train step.
 
-    batch: {"noisy": [B, L], "clean": [B, L]} waveforms.
-    Returns (new_state, metrics).
+    batch: {"noisy": [B, L], "clean": [B, L]} waveforms. `forward` adapts the
+    model API (default: magnitude-mask models); returns (new_state, metrics).
     """
     tx = make_optimizer(cfg)
     balancer = Balancer.make(dict(cfg.loss_weights), ema_decay=cfg.balancer_ema,
                              rescale_grads=cfg.rescale_grads)
     scfg = cfg.stft
+    forward = forward if forward is not None else mask_model_forward(model)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         noisy, clean = batch["noisy"], batch["clean"]
@@ -93,19 +132,10 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
         noisy_spec = stft(noisy, scfg)
         clean_spec = stft(clean, scfg)
         clean_ri = jnp.stack([jnp.real(clean_spec), jnp.imag(clean_spec)], axis=-1)
-        feat = model.compress(jnp.abs(noisy_spec))
         noisy_ri = jnp.stack([jnp.real(noisy_spec), jnp.imag(noisy_spec)], axis=-1)
 
         def model_out(params):
-            (mask, _), new_vars = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                feat,
-                None,
-                True,
-                mutable=["batch_stats"],
-            )
-            enhanced_ri = noisy_ri * mask[..., None]
-            return enhanced_ri, new_vars["batch_stats"]
+            return forward(params, state.batch_stats, noisy_ri)
 
         enhanced_ri, vjp_fn, new_batch_stats = jax.vjp(model_out, state.params, has_aux=True)
 
@@ -132,6 +162,23 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.skip_nonfinite_updates:
+            # a poisoned batch must not leak into ANY carried state: params,
+            # optimizer moments, the balancer's EMA norms, or BN running stats
+            finite = jnp.isfinite(metrics["grad_norm"])
+            for k in list(losses):
+                finite &= jnp.isfinite(losses[k])
+
+            def guard(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(finite, n, o), new, old
+                )
+
+            new_params = guard(new_params, state.params)
+            new_opt_state = guard(new_opt_state, state.opt_state)
+            new_bal_state = guard(new_bal_state, state.balancer_state)
+            new_batch_stats = guard(new_batch_stats, state.batch_stats)
+            metrics["nonfinite_skipped"] = 1.0 - finite.astype(jnp.float32)
         new_state = TrainState(
             params=new_params,
             batch_stats=new_batch_stats,

@@ -26,9 +26,24 @@ import jax.numpy as jnp
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.metrics.registry import REGISTERED_METRICS, available_metrics, composite_score
 from cruse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint, preload_params
-from cruse_tpu.train.step import StepConfig, TrainState, init_train_state, make_train_step
+from cruse_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    init_train_state,
+    make_train_step,
+    complex_model_forward,
+)
 from cruse_tpu.utils.logger import log
 from cruse_tpu.utils.timing import ExecutionTime
+
+
+def _is_complex_model(model) -> bool:
+    """Models that consume the RI spectrum and emit the enhanced complex
+    spectrum directly (vs magnitude-mask models)."""
+    from cruse_tpu.models.mtfaa import MtfaaNet
+    from cruse_tpu.models.bsrnn import BSRNN
+
+    return isinstance(model, (MtfaaNet, BSRNN))
 
 
 @dataclasses.dataclass
@@ -88,7 +103,10 @@ class Trainer:
             self.state = self.state._replace(params=preload_params(preload_path, self.state.params))
             log(f"Model preloaded from {preload_path}.")
 
-        self._train_step = jax.jit(make_train_step(model, step_config), donate_argnums=0)
+        forward = complex_model_forward(model) if _is_complex_model(model) else None
+        self._train_step = jax.jit(
+            make_train_step(model, step_config, forward=forward), donate_argnums=0
+        )
         self._enhance = jax.jit(self._enhance_fn)
         self.writer = writer
         if self.writer is None:
@@ -106,6 +124,12 @@ class Trainer:
 
     def _enhance_fn(self, params, batch_stats, noisy):
         spec = stft(noisy, self.scfg)
+        if _is_complex_model(self.model):
+            ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+            ret = self.model.apply({"params": params, "batch_stats": batch_stats}, ri)
+            out = ret[0]  # drop the state slot
+            enhanced = out[0] if isinstance(out, tuple) else out
+            return istft(enhanced, self.scfg, length=noisy.shape[-1])
         feat = self.model.compress(jnp.abs(spec))
         mask, _ = self.model.apply({"params": params, "batch_stats": batch_stats}, feat)
         return istft(spec * mask, self.scfg, length=noisy.shape[-1])

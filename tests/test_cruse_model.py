@@ -109,6 +109,31 @@ def test_train_step_alternate_losses(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_nonfinite_gradient_guard(rng):
+    """A poisoned batch (NaNs) must not corrupt the parameters."""
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = _small_model()
+    cfg = StepConfig(stft=scfg)
+    good = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+    batch_bad = {
+        "noisy": jnp.asarray(good).at[0, 100].set(jnp.nan),
+        "clean": jnp.asarray(good),
+    }
+    feat = model.compress(jnp.abs(stft(jnp.asarray(good), scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    new_state, metrics = step(state, batch_bad)
+    assert float(metrics["nonfinite_skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(new_state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a clean batch still updates
+    batch_good = {"noisy": jnp.asarray(good), "clean": jnp.asarray(good * 0.5)}
+    new_state2, metrics2 = step(new_state, batch_good)
+    assert float(metrics2["nonfinite_skipped"]) == 0.0
+
+
 def test_batch_stats_update(rng):
     scfg = StftConfig(n_fft=320, hop_length=160)
     model = _small_model()

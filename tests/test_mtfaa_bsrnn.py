@@ -153,6 +153,38 @@ def test_mtfaa_streaming_matches_batch(rng):
     np.testing.assert_allclose(stream, np.asarray(full), atol=2e-4)
 
 
+def test_mtfaa_train_step(rng):
+    """Benchmark config 5: MTFAA end-to-end training step decreases loss."""
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.train.step import (
+        StepConfig,
+        init_train_state,
+        make_train_step,
+        complex_model_forward,
+    )
+
+    scfg = StftConfig(n_fft=512, hop_length=256)
+    cfg = MtfaaConfig(n_fft=512, n_bands=32, channels=(4, 6, 8), tfcm_layers=1,
+                      use_deep_filter=False)
+    net = MtfaaNet(cfg)
+    step_cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+
+    clean = rng.standard_normal((2, 4096)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((2, 4096)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + noise), "clean": jnp.asarray(clean)}
+    spec = stft(batch["noisy"], scfg)
+    cspec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    state = init_train_state(net, step_cfg, jax.random.PRNGKey(0), cspec_ri)
+    step = jax.jit(make_train_step(net, step_cfg, forward=complex_model_forward(net)))
+    first = None
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss_si_snr"])
+    assert np.isfinite(float(metrics["loss_si_snr"]))
+    assert float(metrics["loss_si_snr"]) < first
+
+
 def test_bsrnn_band_table():
     assert sum(BAND_WIDTHS) == 257 and len(BAND_WIDTHS) == 31
 

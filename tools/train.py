@@ -65,9 +65,16 @@ def main():
     )
 
     model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
-    from cruse_tpu.models import CruseNet
+    from cruse_tpu.models import CruseNet, MtfaaNet
+    from cruse_tpu.models.cruse_df import CruseDfNet
 
-    model = CruseNet(model_cfg) if type(model_cfg).__name__ == "CruseConfig" else model_cfg
+    _cfg_to_net = {
+        "CruseConfig": CruseNet,
+        "MtfaaConfig": MtfaaNet,
+        "CruseDfConfig": CruseDfNet,
+    }
+    net_cls = _cfg_to_net.get(type(model_cfg).__name__)
+    model = net_cls(model_cfg) if net_cls is not None else model_cfg
 
     opt = config.get("optimizer", {})
     tr = config.get("trainer", {}).get("train", {})
@@ -97,7 +104,13 @@ def main():
     )
 
     example = next(iter(train_ds.batches(num_batches=1)))
-    feat = model.compress(jnp.abs(stft(example["noisy"], scfg)))
+    from cruse_tpu.train.trainer import _is_complex_model
+
+    spec = stft(example["noisy"], scfg)
+    if _is_complex_model(model):
+        feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    else:
+        feat = model.compress(jnp.abs(spec))
     trainer = Trainer(
         model,
         step_cfg,
