@@ -227,13 +227,28 @@ class AxialSelfAttention(nn.Module):
         vt = nn.Conv(self.channels, (1, 1), name="v_t")(x)
 
         if state is None:
-            # batch: banded causal mask (window-limited when configured)
+            if self.causal and self.window is not None:
+                # banded local attention: O(T*W) memory instead of a dense
+                # T x T mask -- each query gathers its window of keys via W
+                # static slices (long utterances stay cheap)
+                w = min(self.window, t)
+                k_pad = jnp.pad(kt, ((0, 0), (w - 1, 0), (0, 0), (0, 0)))
+                v_pad = jnp.pad(vt, ((0, 0), (w - 1, 0), (0, 0), (0, 0)))
+                k_band = jnp.stack([k_pad[:, i : i + t] for i in range(w)], axis=2)
+                v_band = jnp.stack([v_pad[:, i : i + t] for i in range(w)], axis=2)
+                logits = jnp.einsum("btfc,btwfc->btfw", qt, k_band) / jnp.sqrt(c_att)
+                # band slot i holds key position t - (w-1) + i: valid if >= 0
+                ti = jnp.arange(t)[:, None]
+                valid = (ti - (w - 1) + jnp.arange(w)[None, :]) >= 0  # [T, W]
+                logits = jnp.where(valid[None, :, None, :], logits, -1e9)
+                attn = jax.nn.softmax(logits, axis=-1)
+                xt = jnp.einsum("btfw,btwfc->btfc", attn, v_band)
+                return x + xt, None
+            # full causal attention (training / offline, no window)
             logits = jnp.einsum("btfc,bsfc->bfts", qt, kt) / jnp.sqrt(c_att)
             if self.causal:
                 ti = jnp.arange(t)
                 mask = ti[:, None] >= ti[None, :]
-                if self.window is not None:
-                    mask &= (ti[:, None] - ti[None, :]) < self.window
                 logits = jnp.where(mask[None, None], logits, -1e9)
             attn = jax.nn.softmax(logits, axis=-1)
             xt = jnp.einsum("bfts,bsfc->btfc", attn, vt)

@@ -113,6 +113,21 @@ def test_asa_causal_in_time(rng):
     np.testing.assert_allclose(np.asarray(y1)[:, :6], np.asarray(y2)[:, :6], atol=1e-5)
 
 
+def test_asa_banded_equals_full_when_window_covers(rng):
+    """O(T*W) banded attention == full causal attention when W >= T (same
+    params); longer sequences are validated by the streaming parity test."""
+    asa = AxialSelfAttention(8, causal=True, window=4)
+    x = jnp.asarray(rng.standard_normal((2, 15, 6, 8)).astype(np.float32))
+    v = asa.init(jax.random.PRNGKey(0), x)
+    banded_long, _ = asa.apply(v, x)
+    assert np.isfinite(np.asarray(banded_long)).all()
+
+    asa_full = AxialSelfAttention(8, causal=True, window=None)
+    full, _ = asa_full.apply(v, x[:, :4])
+    banded_short, _ = asa.apply(v, x[:, :4])  # window=4 >= T=4 -> identical
+    np.testing.assert_allclose(np.asarray(banded_short), np.asarray(full), atol=1e-5)
+
+
 def test_asa_streaming_matches_windowed_batch(rng):
     asa = AxialSelfAttention(8, causal=True, window=4)
     x = jnp.asarray(rng.standard_normal((2, 12, 6, 8)).astype(np.float32))
