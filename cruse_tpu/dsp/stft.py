@@ -267,3 +267,51 @@ def mc_stft(y: jax.Array, cfg: StftConfig) -> jax.Array:
 def mag_phase(spec: jax.Array):
     """Split a complex spectrum into (magnitude, phase)."""
     return jnp.abs(spec), jnp.angle(spec)
+
+
+class ConvSTFT:
+    """Class-style conv-STFT layer API (reference CustomSTFT,
+    feature.py:337-365): waveform -> (mag, phase, real, imag), with the
+    kernel NaN guard. Wraps the fused-matmul implementation."""
+
+    def __init__(self, frame_len: int, frame_hop: int, num_fft: int | None = None,
+                 window: str = "sqrt_hann", center: bool = False):
+        self.cfg = StftConfig(
+            n_fft=num_fft or frame_len,
+            hop_length=frame_hop,
+            win_length=frame_len,
+            window=window,
+            center=center,
+        )
+        self.check_nan()
+
+    def check_nan(self):
+        k = _analysis_kernel(self.cfg)
+        num_nan = int(np.isnan(k).sum())
+        if num_nan:
+            raise RuntimeError(f"detect nan in STFT kernels: {num_nan:d}")
+
+    def __call__(self, x: jax.Array):
+        spec = stft(x, self.cfg)
+        real, imag = jnp.real(spec), jnp.imag(spec)
+        mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
+        phase = jnp.arctan2(imag, real)
+        return mag, phase, real, imag
+
+
+class ConvISTFT:
+    """Inverse pair (reference CustomISTFT, feature.py:368-398):
+    (mag, phase) -> waveform."""
+
+    def __init__(self, frame_len: int, frame_hop: int, num_fft: int | None = None,
+                 window: str = "sqrt_hann", center: bool = False):
+        self.cfg = StftConfig(
+            n_fft=num_fft or frame_len,
+            hop_length=frame_hop,
+            win_length=frame_len,
+            window=window,
+            center=center,
+        )
+
+    def __call__(self, mag: jax.Array, phase: jax.Array, length: int | None = None):
+        return istft_mag_phase(mag, phase, self.cfg, length=length)

@@ -19,6 +19,24 @@ from cruse_tpu.dsp.stft import StftConfig, stft
 from cruse_tpu.dsp.features import frame_vad
 
 
+@jax.custom_jvp
+def stable_angle(real, imag):
+    """atan2 with a zero-safe gradient (the reference builds a custom
+    autograd Function for this, test/test_loss.py:204-243): at r -> 0 the
+    true gradient blows up; clamp the squared radius in the backward."""
+    return jnp.arctan2(imag, real)
+
+
+@stable_angle.defjvp
+def _stable_angle_jvp(primals, tangents):
+    real, imag = primals
+    dr, di = tangents
+    r2 = jnp.maximum(real**2 + imag**2, 1e-10)
+    primal = jnp.arctan2(imag, real)
+    tangent = (-imag * dr + real * di) / r2
+    return primal, tangent
+
+
 def _split_ri(spec):
     """Accept complex [B, T, F] or stacked [B, T, F, 2]; return (re, im)."""
     if jnp.iscomplexobj(spec):

@@ -5,6 +5,7 @@ golden parity against a torch implementation of the same transform.
 """
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import torch
@@ -101,6 +102,34 @@ def test_mc_stft_shape(rng):
     # channel fold/unfold must not mix channels
     single = stft(y[0, 1], cfg)
     np.testing.assert_allclose(np.asarray(spec[0, 1]), np.asarray(single), atol=1e-4)
+
+
+def test_conv_stft_class_api(rng):
+    """Reference CustomSTFT/CustomISTFT class surface (feature.py:337-398)."""
+    from cruse_tpu.dsp.stft import ConvSTFT, ConvISTFT
+
+    y = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.2)
+    st = ConvSTFT(320, 160)
+    ist = ConvISTFT(320, 160)
+    mag, phase, real, imag = st(y)
+    assert mag.shape == phase.shape == real.shape == imag.shape
+    np.testing.assert_allclose(np.asarray(mag), np.hypot(np.asarray(real), np.asarray(imag)), atol=1e-5)
+    rec = ist(mag, phase, length=8000)
+    np.testing.assert_allclose(
+        np.asarray(rec)[:, 320:-320], np.asarray(y)[:, 320:-320], atol=1e-4
+    )
+
+
+def test_stable_angle_gradient(rng):
+    from cruse_tpu.losses.spectral import stable_angle
+
+    r = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    i = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(stable_angle(r, i)), np.arctan2(np.asarray(i), np.asarray(r)), atol=1e-6
+    )
+    g = jax.grad(lambda ri: jnp.sum(stable_angle(ri[0], ri[1])))(jnp.zeros((2, 4)))
+    assert bool(jnp.isfinite(g).all())  # plain arctan2 would be NaN here
 
 
 def test_istft_length_pad(rng):
