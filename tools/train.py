@@ -39,6 +39,7 @@ def main():
 
     from cruse_tpu.dsp.stft import StftConfig, stft
     from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+    from cruse_tpu.data.prefetch import PrefetchingLoader
     from cruse_tpu.train.step import StepConfig
     from cruse_tpu.train.trainer import Trainer, TrainerConfig
     from cruse_tpu.utils.config import load_config, initialize_module
@@ -115,7 +116,9 @@ def main():
         model,
         step_cfg,
         tcfg,
-        train_batches=lambda: train_ds.batches(num_batches=tcfg.steps_per_epoch),
+        train_batches=PrefetchingLoader(
+            lambda: train_ds.batches(num_batches=tcfg.steps_per_epoch), size=2
+        ),
         validation_batches=list(valid_ds.batches(num_batches=2)),
         resume=args.resume,
         preload_path=args.preloaded_model_path,
