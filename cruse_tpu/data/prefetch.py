@@ -1,16 +1,21 @@
-"""Background-thread batch prefetching (host/device overlap).
+"""Background-thread batch prefetching (producer/consumer overlap).
 
-The reference relied on torch DataLoader worker processes; here a daemon
-thread runs the host-side batch assembly (file IO, concat, crop -- the numpy
-part of SynMixDataset) and eagerly device_puts results into a bounded queue
-while the chip trains on the previous batch. The device-side mixing stays in
-the consumer's jitted step.
+A daemon thread runs the batch-producing iterable -- for `SynMixDataset`
+that includes the host-side file IO/crop AND the jitted on-device mixing, so
+the consumer's train step overlaps with the next batch's assembly+mixing.
+`device_put=True` additionally transfers numpy leaves inside the producer
+(useful for plain-numpy iterables; `SynMixDataset` already yields device
+arrays, for which it is a no-op).
+
+The consumer may abandon the iterator early (e.g. the trainer stops at
+steps_per_epoch): closing the generator signals the producer to stop, so no
+thread or queue slot outlives the epoch.
 """
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Iterable, Iterator, Optional
+from typing import Any, Iterable, Iterator
 
 import jax
 
@@ -25,11 +30,11 @@ _DONE = _Sentinel()
 def prefetch(batches: Iterable, size: int = 2, device_put: bool = True) -> Iterator:
     """Wrap a batch iterable with a producer thread + bounded queue.
 
-    Exceptions in the producer propagate to the consumer. `device_put=True`
-    transfers array leaves to the default device inside the producer thread,
-    so transfer overlaps compute.
+    Exceptions in the producer propagate to the consumer. Early consumer
+    exit (break / generator close) stops the producer promptly.
     """
     q: "queue.Queue[Any]" = queue.Queue(maxsize=size)
+    stop = threading.Event()
 
     def put(batch):
         if not device_put:
@@ -41,22 +46,50 @@ def prefetch(batches: Iterable, size: int = 2, device_put: bool = True) -> Itera
     def producer():
         try:
             for batch in batches:
-                q.put(put(batch))
+                item = put(batch)
+                # bounded put that re-checks the stop flag instead of
+                # blocking forever on an abandoned queue
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface errors on the consumer side
-            q.put(e)
+            if not stop.is_set():
+                try:
+                    q.put(e, timeout=1.0)
+                except queue.Full:
+                    pass
             return
-        q.put(_DONE)
+        while not stop.is_set():
+            try:
+                q.put(_DONE, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if isinstance(item, _Sentinel):
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, _Sentinel):
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done (normally or abandoned): release the producer
+        stop.set()
+        while True:  # drain so a blocked put wakes immediately
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class PrefetchingLoader:

@@ -108,14 +108,18 @@ class Trainer:
             make_train_step(model, step_config, forward=forward), donate_argnums=0
         )
         self._enhance = jax.jit(self._enhance_fn)
-        self.writer = writer
-        if self.writer is None:
+        # writer: None = auto-create TensorBoard, False = disabled, else used
+        if writer is False:
+            self.writer = None
+        elif writer is None:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self.writer = SummaryWriter(self.logs_dir.as_posix(), max_queue=5, flush_secs=30)
             except Exception:
                 self.writer = None
+        else:
+            self.writer = writer
 
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
         log(f"Model parameters: {n_params / 1e6:.3f} million.")

@@ -81,8 +81,8 @@ def main():
         train_batches=lambda: train_ds.batches(num_batches=8),
         validation_batches=list(valid_ds.batches(num_batches=1)),
         example_feat=feat,
+        writer=False,
     )
-    trainer.writer = None
     trainer.train()
     log("[3/6] trained 3 epochs")
     variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
@@ -111,7 +111,8 @@ def main():
         return istft(spec * mask, scfg, length=noisy.shape[-1])
 
     blob = jexport.export(jax.jit(forward))(jnp.zeros((1, len(noisy_wav)))).serialize()
-    open(f"{root}/cruse.jaxexport", "wb").write(blob)
+    with open(f"{root}/cruse.jaxexport", "wb") as f:
+        f.write(blob)
     out = jexport.deserialize(blob).call(jnp.asarray(noisy_wav[None]))
     log(f"[6/6] exported {len(blob)/1e6:.1f} MB graph; reload check {np.isfinite(np.asarray(out)).all()}")
     log(f"demo complete -- artifacts in {root}")

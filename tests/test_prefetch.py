@@ -47,6 +47,29 @@ def test_overlap_actually_happens():
 
     it = prefetch(gen(), size=4, device_put=False)
     next(it)  # consume one
-    time.sleep(0.2)  # let the producer fill the queue
+    deadline = time.time() + 5.0
+    while len(produced) < 4 and time.time() < deadline:
+        time.sleep(0.02)
     assert len(produced) >= 4  # ran ahead of consumption
     assert len(list(it)) == 4
+
+
+def test_early_abandonment_stops_producer():
+    import threading
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.zeros(1)}
+
+    before = threading.active_count()
+    it = prefetch(gen(), size=2, device_put=False)
+    next(it)
+    it.close()  # abandon early -- must release the producer thread
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000  # producer did not run to completion

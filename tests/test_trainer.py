@@ -44,9 +44,8 @@ def test_trainer_full_loop_and_resume(tmp_path, rng):
         train_batches=[batch, batch],
         validation_batches=[batch],
         example_feat=feat,
-        writer=False or None,
+        writer=False,
     )
-    trainer.writer = None  # keep the test filesystem-light
     trainer.train()
     ckpt = tmp_path / "t" / "checkpoints"
     assert (ckpt / "latest").exists()
@@ -61,8 +60,8 @@ def test_trainer_full_loop_and_resume(tmp_path, rng):
         validation_batches=[batch],
         example_feat=feat,
         resume=True,
+        writer=False,
     )
-    trainer2.writer = None
     assert trainer2.start_epoch == 3
     assert int(trainer2.state.step) == 4
     trainer2.train()
@@ -76,8 +75,8 @@ def test_only_validation_mode(tmp_path, rng):
         model, step_cfg, tcfg,
         validation_batches=[batch],
         example_feat=feat,
+        writer=False,
     )
-    trainer.writer = None
     trainer.train()
     assert int(trainer.state.step) == 0  # no training happened
     assert (tmp_path / "t" / "checkpoints" / "best").exists()
