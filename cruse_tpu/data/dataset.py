@@ -67,8 +67,10 @@ class SynMixDataset:
         self.rir_noise_list = load_manifest(c.rir_noise_manifest) if c.rir_noise_manifest else []
         assert self.clean_list, "empty clean manifest"
         assert self.noise_list, "empty noise manifest"
-        self.snr_list = parse_snr_range(c.snr_range)
+        parse_snr_range(c.snr_range)  # validates [low, high]; the device
+        # mixer draws uniformly over the same integer range (mixer.py)
         self.length = int(c.dataset_length) if c.dataset_length else len(self.clean_list)
+        self._epoch = 0  # advances the default mixing key across epochs
         self.rng = np.random.default_rng(c.seed)
         self.sub_len = int(c.sub_sample_seconds * c.sr)
         self.rir_len = int(c.rir_max_seconds * c.sr)
@@ -134,13 +136,15 @@ class SynMixDataset:
         from cruse_tpu.data import native
 
         paths = [file_list[self.rng.integers(len(file_list))] for _ in range(b)]
-        batch, ok = native.load_batch(
+        batch, ok, lens = native.load_batch(
             paths, self.sub_len, self.cfg.sr,
             seed=int(self.rng.integers(2**62)), threads=self.cfg.native_threads,
         )
         for i in range(b):
-            # short files leave zero tails; rebuild those rows host-side
-            if not ok[i] or np.abs(batch[i, -self.cfg.sr // 10 :]).max() == 0.0:
+            # unreadable or shorter-than-crop files get the python
+            # concat+silence treatment (the native loader reports per-row
+            # decoded lengths, so valid silence-tailed crops are kept)
+            if not ok[i] or lens[i] < self.sub_len:
                 batch[i] = self._select_concat(file_list, self.sub_len)
         return batch
 
@@ -171,7 +175,10 @@ class SynMixDataset:
     def batches(self, num_batches: Optional[int] = None, key=None) -> Iterator[dict]:
         """Yield jitted-mixed device batches."""
         steps = num_batches if num_batches is not None else max(1, self.length // self.cfg.batch_size)
-        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        if key is None:
+            # distinct mixing randomness per epoch (re-)iteration
+            key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), self._epoch)
+            self._epoch += 1
         for i in range(steps):
             key, sub = jax.random.split(key)
             clean, noise, rir = self.host_batch()

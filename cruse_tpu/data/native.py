@@ -59,6 +59,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
     ]
     _lib = lib
     return _lib
@@ -94,12 +95,15 @@ def load_batch(paths: List[str], target_len: int, target_sr: int, seed: int = 0,
                threads: int = 8):
     """Decode+resample+random-crop a batch on the thread pool.
 
-    Returns (batch [N, target_len] float32, ok [N] bool)."""
+    Returns (batch [N, target_len] float32, ok [N] bool, lens [N] int64 --
+    the decoded length per row, so callers can detect short files that were
+    zero-padded rather than cropped)."""
     lib = get_lib()
     assert lib is not None, "native library unavailable"
     n = len(paths)
     out = np.zeros((n, target_len), np.float32)
     ok = np.zeros(n, np.int32)
+    lens = np.zeros(n, np.int64)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.cruseio_load_batch(
         arr,
@@ -110,5 +114,6 @@ def load_batch(paths: List[str], target_len: int, target_sr: int, seed: int = 0,
         seed,
         threads,
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
-    return out, ok.astype(bool)
+    return out, ok.astype(bool), lens

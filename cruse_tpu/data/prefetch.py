@@ -58,11 +58,12 @@ def prefetch(batches: Iterable, size: int = 2, device_put: bool = True) -> Itera
                 if stop.is_set():
                     return
         except BaseException as e:  # surface errors on the consumer side
-            if not stop.is_set():
+            while not stop.is_set():
                 try:
-                    q.put(e, timeout=1.0)
+                    q.put(e, timeout=0.1)
+                    return
                 except queue.Full:
-                    pass
+                    continue
             return
         while not stop.is_set():
             try:

@@ -54,6 +54,7 @@ class TrainerConfig:
     validation_interval: int = 1
     save_max_metric_score: bool = True
     metrics: tuple = ("STOI", "SI_SDR", "PMOS")
+    sr: int = 16000  # validation scoring + TB audio sample rate
     save_dir: str = "runs/exp"
     experiment_name: str = "cruse"
     only_validation: bool = False
@@ -173,7 +174,8 @@ class Trainer:
                 noisy_list.append(noisy_np[j])
                 clean_list.append(clean_np[j])
                 enhanced_list.append(enh_np[j])
-                names.append(batch.get("name", [f"v{len(names)}"] * noisy_np.shape[0])[j])
+                default_names = [f"v{len(names) + k}" for k in range(noisy_np.shape[0])]
+                names.append(batch.get("name", default_names)[j])
         score = self.metrics_visualization(
             noisy_list, clean_list, enhanced_list, list(self.cfg.metrics), epoch
         )
@@ -187,7 +189,7 @@ class Trainer:
         avail = available_metrics()
         metrics_list = [m for m in metrics_list if avail.get(m, False)]
         assert "STOI" in metrics_list, "'STOI' must be present (drives best-model score)"
-        sr = self.scfg.hop_length and 16000  # framework default sr
+        sr = self.cfg.sr
         means = {}
         with ThreadPoolExecutor(max_workers=self.cfg.num_metric_workers) as pool:
             for metric_name in metrics_list:
@@ -207,7 +209,7 @@ class Trainer:
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, mark="") -> None:
         if self.writer is None:
             return
-        sr = 16000
+        sr = self.cfg.sr
         self.writer.add_audio(f"{mark}Speech/{name}_Noisy", noisy[None], epoch, sample_rate=sr)
         self.writer.add_audio(f"{mark}Speech/{name}_Enhanced", enhanced[None], epoch, sample_rate=sr)
         self.writer.add_audio(f"{mark}Speech/{name}_Clean", clean[None], epoch, sample_rate=sr)

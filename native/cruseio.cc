@@ -182,12 +182,14 @@ int cruseio_decode(const char* path, float* out, long max_len, long* found_len, 
 // (seed, row). Rows with unreadable files are zero-filled and flagged 0 in
 // `ok`. Runs on `threads` std::threads.
 void cruseio_load_batch(const char** paths, int n, float* out, long target_len,
-                        int target_sr, uint64_t seed, int threads, int* ok) {
+                        int target_sr, uint64_t seed, int threads, int* ok,
+                        long* lens /* decoded length per row (post-resample) */) {
   if (threads < 1) threads = 1;
   auto work = [&](int begin, int end) {
     for (int i = begin; i < end; ++i) {
       float* row = out + static_cast<long>(i) * target_len;
       std::memset(row, 0, static_cast<size_t>(target_len) * sizeof(float));
+      lens[i] = 0;
       Wav wav;
       if (!decode_wav_impl(paths[i], wav)) {
         ok[i] = 0;
@@ -200,6 +202,7 @@ void cruseio_load_batch(const char** paths, int n, float* out, long target_len,
         samples = std::move(wav.samples);
       }
       long len = static_cast<long>(samples.size());
+      lens[i] = len;
       if (len >= target_len) {
         std::mt19937_64 rng(seed + static_cast<uint64_t>(i) * 0x9e3779b97f4a7c15ULL);
         std::uniform_int_distribution<long> dist(0, len - target_len);

@@ -133,3 +133,21 @@ def test_syn_mix_dataset(tmp_path, rng):
         assert np.isfinite(np.asarray(b["noisy"])).all()
     # different batches must differ
     assert np.abs(np.asarray(batches[0]["noisy"]) - np.asarray(batches[1]["noisy"])).max() > 1e-4
+
+
+def test_epoch_reiteration_uses_fresh_mix_randomness(tmp_path, rng):
+    """Re-entering batches() (a new epoch) must not replay the same SNR/
+    level/augmentation draws (the device key advances per epoch)."""
+    clean_mf = _make_corpus(tmp_path / "c2", rng)
+    noise_mf = _make_corpus(tmp_path / "n2", rng)
+    ds = SynMixDataset(
+        SynMixConfig(clean_manifest=clean_mf, noise_manifest=noise_mf,
+                     sub_sample_seconds=1.0, batch_size=2, seed=3)
+    )
+    e1 = next(iter(ds.batches(num_batches=1)))
+    e2 = next(iter(ds.batches(num_batches=1)))
+    # host file picks may coincide, but mixing randomness must differ: the
+    # achieved output levels (dBFS jitter) will not match across epochs
+    l1 = np.sqrt(np.mean(np.asarray(e1["noisy"]) ** 2, axis=1))
+    l2 = np.sqrt(np.mean(np.asarray(e2["noisy"]) ** 2, axis=1))
+    assert np.abs(l1 - l2).max() > 1e-5

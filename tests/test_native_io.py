@@ -41,13 +41,14 @@ def test_load_batch_deterministic_and_flagged(tmp_path, rng):
         write_wav(p, (rng.standard_normal(48000) * 0.2).astype(np.float32), 16000)
         paths.append(p)
     paths.append(str(tmp_path / "missing.wav"))
-    batch, ok = native.load_batch(paths, 16000, 16000, seed=7, threads=4)
+    batch, ok, lens = native.load_batch(paths, 16000, 16000, seed=7, threads=4)
     assert batch.shape == (9, 16000)
     assert ok[:8].all() and not ok[8]
+    assert (lens[:8] == 48000).all() and lens[8] == 0
     np.testing.assert_array_equal(batch[8], 0.0)
-    batch2, _ = native.load_batch(paths, 16000, 16000, seed=7, threads=2)
+    batch2, _, _ = native.load_batch(paths, 16000, 16000, seed=7, threads=2)
     np.testing.assert_array_equal(batch, batch2)
-    batch3, _ = native.load_batch(paths, 16000, 16000, seed=8, threads=2)
+    batch3, _, _ = native.load_batch(paths, 16000, 16000, seed=8, threads=2)
     assert np.abs(batch[:8] - batch3[:8]).max() > 0
 
 
