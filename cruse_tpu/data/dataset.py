@@ -83,12 +83,17 @@ class SynMixDataset:
             reverb_noise_proportion=c.reverb_noise_proportion,
             eq_proportion=c.eq_proportion,
         )
-        self._mix = jax.jit(
-            lambda key, clean, noise, rir: mix_batch(key, clean, noise, self.mixer_cfg, rir)
-        )
-        self._mix_no_rir = jax.jit(
-            lambda key, clean, noise: mix_batch(key, clean, noise, self.mixer_cfg)
-        )
+        # one jitted mix closure per (rir, rir_noise) presence combination
+        self._mix_fns = {
+            (False, False): jax.jit(lambda k, c, n: mix_batch(k, c, n, self.mixer_cfg)),
+            (True, False): jax.jit(lambda k, c, n, r: mix_batch(k, c, n, self.mixer_cfg, r)),
+            (False, True): jax.jit(
+                lambda k, c, n, rn: mix_batch(k, c, n, self.mixer_cfg, None, rn)
+            ),
+            (True, True): jax.jit(
+                lambda k, c, n, r, rn: mix_batch(k, c, n, self.mixer_cfg, r, rn)
+            ),
+        }
 
     def __len__(self):
         return self.length
@@ -118,11 +123,11 @@ class SynMixDataset:
             y = y[idx : idx + target_length]
         return y.astype(np.float32)
 
-    def _select_rir(self) -> np.ndarray:
+    def _select_rir(self, rir_list: List[str]) -> np.ndarray:
         """Pad/crop a random RIR to the static device length; zeros = none."""
         rir = np.zeros(self.rir_len, np.float32)
-        if self.rir_list:
-            wav, _ = read_wav(self.rir_list[self.rng.integers(len(self.rir_list))], sr=self.cfg.sr)
+        if rir_list:
+            wav, _ = read_wav(rir_list[self.rng.integers(len(rir_list))], sr=self.cfg.sr)
             if wav.ndim == 2:
                 wav = wav[0]
             n = min(len(wav), self.rir_len)
@@ -166,11 +171,16 @@ class SynMixDataset:
             clean = np.stack([self._select_concat(self.clean_list, self.sub_len) for _ in range(b)])
             noise = np.stack([self._select_concat(self.noise_list, self.sub_len) for _ in range(b)])
         rir = (
-            np.stack([self._select_rir() for _ in range(b)])
+            np.stack([self._select_rir(self.rir_list) for _ in range(b)])
             if self.rir_list and self.cfg.reverb_proportion > 0
             else None
         )
-        return clean, noise, rir
+        rir_noise = (
+            np.stack([self._select_rir(self.rir_noise_list) for _ in range(b)])
+            if self.rir_noise_list and self.cfg.reverb_noise_proportion > 0
+            else None
+        )
+        return clean, noise, rir, rir_noise
 
     def batches(self, num_batches: Optional[int] = None, key=None) -> Iterator[dict]:
         """Yield jitted-mixed device batches."""
@@ -181,11 +191,14 @@ class SynMixDataset:
             self._epoch += 1
         for i in range(steps):
             key, sub = jax.random.split(key)
-            clean, noise, rir = self.host_batch()
-            if rir is None:
-                noisy, target = self._mix_no_rir(sub, jnp.asarray(clean), jnp.asarray(noise))
-            else:
-                noisy, target = self._mix(sub, jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(rir))
+            clean, noise, rir, rir_noise = self.host_batch()
+            args = [sub, jnp.asarray(clean), jnp.asarray(noise)]
+            if rir is not None:
+                args.append(jnp.asarray(rir))
+            if rir_noise is not None:
+                args.append(jnp.asarray(rir_noise))
+            mix = self._mix_fns[(rir is not None, rir_noise is not None)]
+            noisy, target = mix(*args)
             batch = {"noisy": noisy, "clean": target}
             if self.cfg.valid_mode:
                 batch["name"] = [f"synth_{i:05d}_{j:03d}" for j in range(self.cfg.batch_size)]

@@ -47,6 +47,19 @@ class BatchInferencer:
 
     # ---- strategies (each: [B(, C), L] noisy -> [B, L] enhanced) ----
 
+    def auto(self, noisy: jax.Array) -> jax.Array:
+        """Model-agnostic strategy: route through the same forward adapter
+        the trainer uses (works for mask, deep-filter, and complex models)."""
+        from cruse_tpu.train.step import forward_for_model
+
+        spec = stft(noisy, self.cfg.stft)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        enhanced_ri, _ = forward_for_model(self.model)(
+            self.variables["params"], self.variables.get("batch_stats", {}), ri, train=False
+        )
+        return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), self.cfg.stft,
+                     length=noisy.shape[-1])
+
     def mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """Magnitude in, masked magnitude out, noisy phase reconstruction."""
         spec = stft(noisy, self.cfg.stft)

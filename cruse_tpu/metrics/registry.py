@@ -32,7 +32,15 @@ def _wb_pesq(reference, estimation, sr=16000):
 def _nb_pesq(reference, estimation, sr=16000):
     from pesq import pesq as _pesq
 
-    return _pesq(8000 if sr == 8000 else 16000, np.asarray(reference), np.asarray(estimation), "nb")
+    if sr not in (8000, 16000):
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(16000, sr)
+        reference = resample_poly(reference, 16000 // g, sr // g)
+        estimation = resample_poly(estimation, 16000 // g, sr // g)
+        sr = 16000
+    return _pesq(sr, np.asarray(reference), np.asarray(estimation), "nb")
 
 
 def _mosnet(reference, estimation, sr=16000):

@@ -19,3 +19,31 @@ MODEL_REGISTRY = {
     "mtfaa": MtfaaNet,
     "bsrnn": BSRNN,
 }
+
+
+def build_from_config(model_cfg):
+    """Config dataclass (or ready module) -> model module.
+
+    The CLI reflection path resolves [model].path to a config dataclass;
+    this maps it onto its network class (CruseConfig -> CruseNet, etc.).
+    """
+    from cruse_tpu.models.cruse_df import CruseDfNet
+
+    mapping = {
+        "CruseConfig": CruseNet,
+        "MtfaaConfig": MtfaaNet,
+        "CruseDfConfig": CruseDfNet,
+    }
+    cls = mapping.get(type(model_cfg).__name__)
+    return cls(model_cfg) if cls is not None else model_cfg
+
+
+def features_for_model(model, spec):
+    """Model-appropriate network input from a complex spectrum [B, T, F]."""
+    import jax.numpy as jnp
+    from cruse_tpu.models.mtfaa import MtfaaNet as _M
+    from cruse_tpu.models.bsrnn import BSRNN as _B
+
+    if isinstance(model, (_M, _B)):
+        return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    return model.compress(jnp.abs(spec))

@@ -111,6 +111,10 @@ class BSRNN(nn.Module):
 
     @nn.compact
     def __call__(self, spec: jax.Array, state=None, train: bool = False):
+        if not jnp.iscomplexobj(spec):
+            # accept stacked-RI input [B, T, F, 2] (the trainer adapter form)
+            assert spec.shape[-1] == 2, spec.shape
+            spec = jax.lax.complex(spec[..., 0], spec[..., 1])
         x_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         z = BandSplit(self.num_channel, name="band_split")(x_ri)  # [B, T, K, N]
         b, t, k, n = z.shape

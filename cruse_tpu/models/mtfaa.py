@@ -243,7 +243,14 @@ class AxialSelfAttention(nn.Module):
                 logits = jnp.where(valid[None, :, None, :], logits, -1e9)
                 attn = jax.nn.softmax(logits, axis=-1)
                 xt = jnp.einsum("btfw,btwfc->btfc", attn, v_band)
-                return x + xt, None
+                # emit a valid rolling cache so a follow-up chunk can carry
+                # attention context (not just conv/TFCM histories)
+                wfull = self.window
+                pad_t = max(wfull - 1 - t, 0)
+                k_cache = jnp.pad(kt, ((0, 0), (pad_t, 0), (0, 0), (0, 0)))[:, -(wfull - 1) :]
+                v_cache = jnp.pad(vt, ((0, 0), (pad_t, 0), (0, 0), (0, 0)))[:, -(wfull - 1) :]
+                count = jnp.asarray(min(t, wfull - 1), jnp.int32)
+                return x + xt, (k_cache, v_cache, count)
             # full causal attention (training / offline, no window)
             logits = jnp.einsum("btfc,bsfc->bfts", qt, kt) / jnp.sqrt(c_att)
             if self.causal:

@@ -83,14 +83,17 @@ def mask_model_forward(model):
     """Default adapter: model consumes compressed magnitude features and
     emits a magnitude mask applied to the noisy spectrum."""
 
-    def forward(params, batch_stats, noisy_ri):
+    def forward(params, batch_stats, noisy_ri, train=True):
         mag = jnp.sqrt(noisy_ri[..., 0] ** 2 + noisy_ri[..., 1] ** 2 + 1e-12)
         feat = model.compress(mag)
-        (mask, _), new_vars = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            feat, None, True, mutable=["batch_stats"],
-        )
-        return noisy_ri * mask[..., None], new_vars["batch_stats"]
+        if train:
+            (mask, _), new_vars = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feat, None, True, mutable=["batch_stats"],
+            )
+            return noisy_ri * mask[..., None], new_vars["batch_stats"]
+        mask, _ = model.apply({"params": params, "batch_stats": batch_stats}, feat)
+        return noisy_ri * mask[..., None], batch_stats
 
     return forward
 
@@ -99,19 +102,62 @@ def complex_model_forward(model):
     """Adapter for models that consume the RI spectrum and emit the enhanced
     complex spectrum directly (MTFAA, BSRNN)."""
 
-    def forward(params, batch_stats, noisy_ri):
-        ret, new_vars = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            noisy_ri, None, True, mutable=["batch_stats"],
-        )
+    def forward(params, batch_stats, noisy_ri, train=True):
+        if train:
+            ret, new_vars = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                noisy_ri, None, True, mutable=["batch_stats"],
+            )
+            new_stats = new_vars["batch_stats"]
+        else:
+            ret = model.apply({"params": params, "batch_stats": batch_stats}, noisy_ri)
+            new_stats = batch_stats
         enhanced = ret[0]  # drop the model's state slot
         if isinstance(enhanced, tuple):  # (enhanced, aux) e.g. MTFAA's mask
             enhanced = enhanced[0]
         if jnp.iscomplexobj(enhanced):
             enhanced = jnp.stack([jnp.real(enhanced), jnp.imag(enhanced)], axis=-1)
-        return enhanced, new_vars["batch_stats"]
+        return enhanced, new_stats
 
     return forward
+
+
+def cruse_df_model_forward(model):
+    """Adapter for CruseDfNet: mask + deep-filter coefficients -> enhanced RI."""
+    from cruse_tpu.models.cruse_df import apply_cruse_df
+
+    def forward(params, batch_stats, noisy_ri, train=True):
+        mag = jnp.sqrt(noisy_ri[..., 0] ** 2 + noisy_ri[..., 1] ** 2 + 1e-12)
+        feat = model.compress(mag)
+        if train:
+            ret, new_vars = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feat, None, True, mutable=["batch_stats"],
+            )
+            new_stats = new_vars["batch_stats"]
+        else:
+            ret = model.apply({"params": params, "batch_stats": batch_stats}, feat)
+            new_stats = batch_stats
+        (mask, coefs), _state = ret
+        spec = jax.lax.complex(noisy_ri[..., 0], noisy_ri[..., 1])
+        enhanced = apply_cruse_df(spec, mask, coefs, model.config)
+        enhanced_ri = jnp.stack([jnp.real(enhanced), jnp.imag(enhanced)], axis=-1)
+        return enhanced_ri, new_stats
+
+    return forward
+
+
+def forward_for_model(model) -> Callable:
+    """Pick the right forward adapter for any zoo model."""
+    from cruse_tpu.models.mtfaa import MtfaaNet
+    from cruse_tpu.models.bsrnn import BSRNN
+    from cruse_tpu.models.cruse_df import CruseDfNet
+
+    if isinstance(model, (MtfaaNet, BSRNN)):
+        return complex_model_forward(model)
+    if isinstance(model, CruseDfNet):
+        return cruse_df_model_forward(model)
+    return mask_model_forward(model)
 
 
 def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> Callable:

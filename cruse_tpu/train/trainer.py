@@ -31,7 +31,7 @@ from cruse_tpu.train.step import (
     TrainState,
     init_train_state,
     make_train_step,
-    complex_model_forward,
+    forward_for_model,
 )
 from cruse_tpu.utils.logger import log
 from cruse_tpu.utils.timing import ExecutionTime
@@ -104,9 +104,9 @@ class Trainer:
             self.state = self.state._replace(params=preload_params(preload_path, self.state.params))
             log(f"Model preloaded from {preload_path}.")
 
-        forward = complex_model_forward(model) if _is_complex_model(model) else None
         self._train_step = jax.jit(
-            make_train_step(model, step_config, forward=forward), donate_argnums=0
+            make_train_step(model, step_config, forward=forward_for_model(model)),
+            donate_argnums=0,
         )
         self._enhance = jax.jit(self._enhance_fn)
         # writer: None = auto-create TensorBoard, False = disabled, else used
@@ -128,16 +128,12 @@ class Trainer:
     # ---- enhancement used by validation ----
 
     def _enhance_fn(self, params, batch_stats, noisy):
+        """Validation enhancement through the SAME adapter as training."""
         spec = stft(noisy, self.scfg)
-        if _is_complex_model(self.model):
-            ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-            ret = self.model.apply({"params": params, "batch_stats": batch_stats}, ri)
-            out = ret[0]  # drop the state slot
-            enhanced = out[0] if isinstance(out, tuple) else out
-            return istft(enhanced, self.scfg, length=noisy.shape[-1])
-        feat = self.model.compress(jnp.abs(spec))
-        mask, _ = self.model.apply({"params": params, "batch_stats": batch_stats}, feat)
-        return istft(spec * mask, self.scfg, length=noisy.shape[-1])
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        enhanced_ri, _ = forward_for_model(self.model)(params, batch_stats, ri, train=False)
+        return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), self.scfg,
+                     length=noisy.shape[-1])
 
     # ---- epochs ----
 
@@ -170,12 +166,13 @@ class Trainer:
             noisy_np = np.asarray(batch["noisy"])
             clean_np = np.asarray(batch["clean"])
             enh_np = np.asarray(enhanced)
+            default_names = [f"v{len(names) + k}" for k in range(noisy_np.shape[0])]
+            batch_names = batch.get("name", default_names)
             for j in range(noisy_np.shape[0]):
                 noisy_list.append(noisy_np[j])
                 clean_list.append(clean_np[j])
                 enhanced_list.append(enh_np[j])
-                default_names = [f"v{len(names) + k}" for k in range(noisy_np.shape[0])]
-                names.append(batch.get("name", default_names)[j])
+                names.append(batch_names[j])
         score = self.metrics_visualization(
             noisy_list, clean_list, enhanced_list, list(self.cfg.metrics), epoch
         )
@@ -214,27 +211,16 @@ class Trainer:
         self.writer.add_audio(f"{mark}Speech/{name}_Enhanced", enhanced[None], epoch, sample_rate=sr)
         self.writer.add_audio(f"{mark}Speech/{name}_Clean", clean[None], epoch, sample_rate=sr)
         try:
-            import matplotlib
+            from cruse_tpu.utils.plot import plot_spectrograms
 
-            matplotlib.use("Agg")
+            fig = plot_spectrograms(
+                [noisy, enhanced, clean],
+                labels=["noisy", "enhanced", "clean"],
+                sr=sr, n_fft=self.scfg.n_fft, hop=self.scfg.hop_length,
+            )
+            self.writer.add_figure(f"{mark}Spectrogram/{name}", fig, epoch)
             import matplotlib.pyplot as plt
 
-            fig, axes = plt.subplots(3, 1, figsize=(6, 6))
-            for k, wav in enumerate([noisy, enhanced, clean]):
-                # host-side numpy STFT: the viz path must not touch the device
-                frames = np.lib.stride_tricks.sliding_window_view(
-                    np.asarray(wav), self.scfg.n_fft
-                )[:: self.scfg.hop_length]
-                win = np.hanning(self.scfg.n_fft)
-                spec = np.abs(np.fft.rfft(frames * win, axis=-1)).T
-                mag_db = 20 * np.log10(spec + 1e-8)
-                axes[k].set_title(
-                    f"mean: {spec.mean():.3f}, std: {spec.std():.3f}, "
-                    f"max: {spec.max():.3f}, min: {spec.min():.3f}"
-                )
-                axes[k].imshow(mag_db, origin="lower", aspect="auto", cmap="magma")
-            plt.tight_layout()
-            self.writer.add_figure(f"{mark}Spectrogram/{name}", fig, epoch)
             plt.close(fig)
         except Exception as e:  # visualization must never kill training
             log(f"spectrogram figure failed: {e}")

@@ -151,3 +151,47 @@ def test_epoch_reiteration_uses_fresh_mix_randomness(tmp_path, rng):
     l1 = np.sqrt(np.mean(np.asarray(e1["noisy"]) ** 2, axis=1))
     l2 = np.sqrt(np.mean(np.asarray(e2["noisy"]) ** 2, axis=1))
     assert np.abs(l1 - l2).max() > 1e-5
+
+
+def test_rir_noise_is_applied(tmp_path, rng):
+    """reverb_noise_proportion must actually reverberate the noise."""
+    from cruse_tpu.data.mixer import MixerConfig, mix_batch
+    cfg_on = MixerConfig(snr_range=(5, 5), target_db_fs=-25.0,
+                         target_db_fs_floating=0.0, reverb_noise_proportion=1.0)
+    cfg_off = MixerConfig(snr_range=(5, 5), target_db_fs=-25.0,
+                          target_db_fs_floating=0.0, reverb_noise_proportion=0.0)
+    clean = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    rir_noise = np.zeros((2, 1600), np.float32)
+    rir_noise[:, 0] = 1.0
+    rir_noise[:, 800] = 0.7  # strong echo
+    key = jax.random.PRNGKey(0)
+    on, _ = mix_batch(key, clean, noise, cfg_on, None, jnp.asarray(rir_noise))
+    off, _ = mix_batch(key, clean, noise, cfg_off, None, jnp.asarray(rir_noise))
+    assert np.abs(np.asarray(on) - np.asarray(off)).max() > 1e-3
+
+
+def test_dataset_passes_rir_noise(tmp_path, rng):
+    """SynMixDataset wires rir_noise manifests through to the mixer."""
+    clean_mf = _make_corpus(tmp_path / "c3", rng)
+    noise_mf = _make_corpus(tmp_path / "n3", rng)
+    # build echoing RIR wavs
+    rirs = []
+    for i in range(2):
+        r = np.zeros(1600, np.float32)
+        r[0] = 1.0
+        r[700 + 100 * i] = 0.6
+        p = str(tmp_path / f"rirn_{i}.wav")
+        write_wav(p, r, 16000)
+        rirs.append(p)
+    rn_mf = str(tmp_path / "rn.txt")
+    write_manifest(rirs, rn_mf)
+
+    common = dict(clean_manifest=clean_mf, noise_manifest=noise_mf,
+                  sub_sample_seconds=1.0, batch_size=2, seed=5,
+                  rir_noise_manifest=rn_mf)
+    ds_on = SynMixDataset(SynMixConfig(**common, reverb_noise_proportion=1.0))
+    ds_off = SynMixDataset(SynMixConfig(**common, reverb_noise_proportion=0.0))
+    b_on = next(iter(ds_on.batches(num_batches=1)))
+    b_off = next(iter(ds_off.batches(num_batches=1)))
+    assert np.abs(np.asarray(b_on["noisy"]) - np.asarray(b_off["noisy"])).max() > 1e-4

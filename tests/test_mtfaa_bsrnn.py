@@ -152,6 +152,21 @@ def test_mtfaa_full_forward(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mtfaa_chunk_carry_matches_full(rng):
+    """Windowed batch calls return usable state: processing two chunks with
+    carried state must equal one full-sequence call (incl. ASA KV caches)."""
+    cfg = MtfaaConfig(n_fft=512, n_bands=64, channels=(8, 12, 16), tfcm_layers=1,
+                      attention_window=4, use_deep_filter=True)
+    net = MtfaaNet(cfg)
+    cspec = jnp.asarray(rng.standard_normal((1, 8, 257, 2)).astype(np.float32) * 0.3)
+    v = net.init(jax.random.PRNGKey(0), cspec)
+    (full, _), _ = net.apply(v, cspec)
+    (o1, _), st = net.apply(v, cspec[:, :5])  # batch call WITH window -> state
+    (o2, _), _ = net.apply(v, cspec[:, 5:], st)  # carried into the next chunk
+    stitched = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+    np.testing.assert_allclose(stitched, np.asarray(full), atol=2e-4)
+
+
 def test_mtfaa_streaming_matches_batch(rng):
     cfg = MtfaaConfig(n_fft=512, n_bands=64, channels=(8, 12, 16), tfcm_layers=2,
                       attention_window=4)

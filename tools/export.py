@@ -30,7 +30,8 @@ def main():
     from jax import export as jexport
 
     from cruse_tpu.dsp.stft import StftConfig, stft, istft
-    from cruse_tpu.models import CruseNet
+    from cruse_tpu.models import build_from_config, features_for_model
+    from cruse_tpu.train.step import forward_for_model
     from cruse_tpu.train.checkpoint import preload_params
     from cruse_tpu.utils.config import load_config, initialize_module
     from cruse_tpu.utils.logger import log
@@ -40,18 +41,20 @@ def main():
     scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]))
     sr = int(ac.get("sr", 16000))
     model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
-    model = CruseNet(model_cfg)
+    model = build_from_config(model_cfg)
 
     length = int(args.seconds * sr)
-    feat = jnp.zeros((args.batch, scfg.num_frames(length), model_cfg.in_freq))
-    variables = model.init(jax.random.PRNGKey(0), feat)
+    ex_spec = stft(jnp.zeros((args.batch, length)), scfg)
+    variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
     params = preload_params(args.model_checkpoint_path, variables["params"])
     variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+    adapter = forward_for_model(model)
 
     def forward(noisy):
         spec = stft(noisy, scfg)
-        mask, _ = model.apply(variables, model.compress(jnp.abs(spec)))
-        return istft(spec * mask, scfg, length=noisy.shape[-1])
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        enhanced_ri, _ = adapter(variables["params"], variables["batch_stats"], ri, train=False)
+        return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), scfg, length=noisy.shape[-1])
 
     example = jnp.zeros((args.batch, length), jnp.float32)
     exported = jexport.export(jax.jit(forward))(example)

@@ -25,12 +25,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.dsp.stft import StftConfig, stft
     from cruse_tpu.data.manifest import load_manifest
     from cruse_tpu.data.wavio import read_wav, write_wav, to_int16_scaled
     from cruse_tpu.infer.batch import BatchInferencer, InferencerConfig
     from cruse_tpu.infer.streaming import StreamingEnhancer
-    from cruse_tpu.models import CruseNet
+    from cruse_tpu.models import build_from_config, features_for_model
     from cruse_tpu.train.checkpoint import preload_params
     from cruse_tpu.utils.config import load_config, initialize_module
     from cruse_tpu.utils.logger import log
@@ -40,11 +40,12 @@ def main():
     sr = int(ac.get("sr", 16000))
 
     model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
-    model = CruseNet(model_cfg)
+    model = build_from_config(model_cfg)
 
-    # init + load params
-    feat = jnp.zeros((1, 8, model_cfg.in_freq))
-    variables = model.init(jax.random.PRNGKey(0), feat)
+    # init + load params (example input shaped for the model family)
+    ex_spec = stft(jnp.zeros((1, 8 * int(ac["hop_length"]))),
+                   StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])))
+    variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
     params = preload_params(args.model_checkpoint_path, variables["params"])
     variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
 
@@ -53,6 +54,12 @@ def main():
     assert files, f"no wavs found under {inp}"
 
     if args.streaming:
+        from cruse_tpu.models import CruseNet as _CN
+        from cruse_tpu.models.dfsmn import DfsmnNet as _DN
+
+        assert isinstance(model, (_CN, _DN)), (
+            "--streaming currently supports magnitude-mask models (CRUSE/DFSMN)"
+        )
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
         enhancer = StreamingEnhancer(model, variables, scfg)
         out_dir = Path(args.output_dir)
@@ -65,7 +72,7 @@ def main():
             write_wav(str(out_dir / f"{Path(f).stem}.wav"), to_int16_scaled(out), sr)
     else:
         icfg = InferencerConfig(
-            type=config.get("inferencer", {}).get("type", "mag_to_mag"),
+            type=config.get("inferencer", {}).get("type", "auto"),
             sr=sr,
             stft=StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])),
             output_dir=args.output_dir,
