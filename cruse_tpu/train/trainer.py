@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.metrics.registry import REGISTERED_METRICS, available_metrics, composite_score
+from cruse_tpu.parallel.mesh import param_shardings, replicated, shard_batch
 from cruse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint, preload_params
 from cruse_tpu.train.step import (
     StepConfig,
@@ -75,6 +76,7 @@ class Trainer:
         example_feat=None,
         rng=None,
         writer=None,
+        mesh=None,
     ):
         self.model = model
         self.step_cfg = step_config
@@ -82,6 +84,12 @@ class Trainer:
         self.train_batches = train_batches
         self.validation_batches = validation_batches
         self.scfg = step_config.stft
+        # SPMD: a jax.sharding.Mesh makes this trainer multi-device -- params
+        # placed by rule (param_shardings), batches sharded over "data". This
+        # is the reference's DDP-by-default training entry (mp.spawn per GPU,
+        # tools/train_stand.py:151-155 + base_trainer.py:31) done the XLA way:
+        # one process, one jitted program, psum over ICI.
+        self.mesh = mesh
 
         self.save_dir = Path(trainer_config.save_dir).expanduser().absolute() / trainer_config.experiment_name
         self.checkpoints_dir = self.save_dir / "checkpoints"
@@ -103,6 +111,9 @@ class Trainer:
         elif preload_path:
             self.state = self.state._replace(params=preload_params(preload_path, self.state.params))
             log(f"Model preloaded from {preload_path}.")
+        if self.mesh is not None:
+            self.state = self._place_on_mesh(self.state)
+            log(f"SPMD mesh: {dict(self.mesh.shape)}")
 
         self._train_step = jax.jit(
             make_train_step(model, step_config, forward=forward_for_model(model)),
@@ -125,6 +136,52 @@ class Trainer:
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
         log(f"Model parameters: {n_params / 1e6:.3f} million.")
 
+    # ---- SPMD placement ----
+
+    def _place_on_mesh(self, state: TrainState) -> TrainState:
+        """Device-put a (host or single-device) train state onto the mesh:
+        params by sharding rule, everything else replicated. Checkpoint
+        restore round-trips through here (orbax restores host arrays)."""
+        import optax
+
+        mesh = self.mesh
+        p_sh = param_shardings(mesh, state.params)
+        rep = replicated(mesh)
+
+        def place_opt(node):
+            # Adam moments mirror the param tree -> give them the param
+            # shardings so sharded weights keep sharded optimizer state
+            if isinstance(node, optax.ScaleByAdamState):
+                return node._replace(
+                    count=jax.device_put(node.count, rep),
+                    mu=jax.device_put(node.mu, p_sh),
+                    nu=jax.device_put(node.nu, p_sh),
+                )
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), node)
+
+        opt_state = tuple(place_opt(n) for n in state.opt_state)
+        return state._replace(
+            params=jax.device_put(state.params, p_sh),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=opt_state,
+            balancer_state=jax.device_put(state.balancer_state, rep),
+            step=jax.device_put(state.step, rep),
+        )
+
+    def _put_batch(self, batch):
+        """Shard the batch over the mesh's "data" axis (replicating anything
+        whose leading dim doesn't divide it, e.g. ragged validation tails)."""
+        if self.mesh is None:
+            return batch
+        n_data = self.mesh.shape["data"]
+
+        def put(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_data == 0:
+                return shard_batch(self.mesh, x)
+            return jax.device_put(x, replicated(self.mesh))
+
+        return {k: put(v) if hasattr(v, "shape") else v for k, v in batch.items()}
+
     # ---- enhancement used by validation ----
 
     def _enhance_fn(self, params, batch_stats, noisy):
@@ -145,7 +202,8 @@ class Trainer:
         running = {}
         count = 0
         for i, batch in enumerate(batches):
-            self.state, metrics = self._train_step(self.state, {"noisy": batch["noisy"], "clean": batch["clean"]})
+            batch = self._put_batch({"noisy": batch["noisy"], "clean": batch["clean"]})
+            self.state, metrics = self._train_step(self.state, batch)
             count += 1
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
@@ -162,7 +220,8 @@ class Trainer:
         vbatches = self.validation_batches() if callable(self.validation_batches) else self.validation_batches
         noisy_list, clean_list, enhanced_list, names = [], [], [], []
         for batch in vbatches:
-            enhanced = self._enhance(self.state.params, self.state.batch_stats, batch["noisy"])
+            noisy_dev = self._put_batch({"noisy": batch["noisy"]})["noisy"]
+            enhanced = self._enhance(self.state.params, self.state.batch_stats, noisy_dev)
             noisy_np = np.asarray(batch["noisy"])
             clean_np = np.asarray(batch["clean"])
             enh_np = np.asarray(enhanced)

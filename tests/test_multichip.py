@@ -64,6 +64,66 @@ def test_sharded_step_matches_single_device(rng):
     assert mismatched / total < 0.02, f"{mismatched}/{total} params diverged"
 
 
+def test_trainer_on_mesh_matches_single_device(rng, tmp_path):
+    """The user-facing Trainer (the CLI path) on an 8-device mesh produces the
+    same loss trajectory as single-device training -- the reference's
+    DDP-by-default entry (tools/train_stand.py:151-155) done as SPMD."""
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+    clean = rng.standard_normal((4, 8, 3200)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((4, 8, 3200)).astype(np.float32) * 0.1
+    batches = [
+        {"noisy": jnp.asarray(clean[i] + noise[i]), "clean": jnp.asarray(clean[i])}
+        for i in range(4)
+    ]
+    feat = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4)).compress(
+        jnp.abs(stft(batches[0]["noisy"], scfg))
+    )
+
+    def run(mesh, save_dir):
+        model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+        tcfg = TrainerConfig(
+            epochs=1, steps_per_epoch=4, validation_interval=10**9,
+            save_checkpoint_interval=1, save_dir=str(save_dir), experiment_name="m",
+        )
+        trainer = Trainer(
+            model, cfg, tcfg, train_batches=list(batches),
+            example_feat=feat, writer=False, mesh=mesh,
+        )
+        losses = []
+        orig = trainer._train_step
+
+        def spy(state, batch):
+            state, metrics = orig(state, batch)
+            losses.append(float(metrics["loss_si_snr"]))
+            return state, metrics
+
+        trainer._train_step = spy
+        trainer.train()
+        return losses, trainer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ref_losses, _ = run(None, tmp_path / "single")
+    mesh_losses, mesh_trainer = run(mesh, tmp_path / "mesh")
+    np.testing.assert_allclose(mesh_losses, ref_losses, rtol=2e-3)
+
+    # checkpoint written from sharded state round-trips back onto the mesh
+    from cruse_tpu.train.checkpoint import restore_checkpoint
+
+    restored, start_epoch, _ = restore_checkpoint(
+        mesh_trainer.checkpoints_dir, mesh_trainer.state
+    )
+    assert start_epoch == 2
+    restored = mesh_trainer._place_on_mesh(restored)
+    got = jax.device_get(restored.params)
+    want = jax.device_get(mesh_trainer.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
 def test_grouped_weights_actually_sharded(rng):
     model, cfg, batch, state = _setup(rng)
     mesh = make_mesh(n_data=4, n_model=2)

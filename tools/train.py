@@ -58,7 +58,26 @@ def main():
     save_dir = os.path.join(os.path.expanduser(config["meta"].get("save_dir", "runs")), exp_name)
     os.makedirs(save_dir, exist_ok=True)
     log_init(os.path.join(save_dir, "train.log"))
-    log(f"devices: {jax.devices()}")
+
+    # -N devices -> SPMD mesh (the reference spawns one process per GPU and
+    # wraps in DDP, tools/train_stand.py:151-155; here one process jits the
+    # step over a ("data","model") mesh and XLA inserts the gradient psum).
+    from cruse_tpu.parallel.distributed import initialize_distributed
+    from cruse_tpu.parallel.mesh import make_mesh
+
+    initialize_distributed()
+    devices = jax.devices()
+    log(f"devices: {devices}")
+    n = args.num_devices or len(devices)
+    if n > len(devices):
+        raise SystemExit(
+            f"-N {n} requested but only {len(devices)} devices visible; "
+            f"for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n}"
+        )
+    mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n]) if n > 1 else None
+    if mesh is not None:
+        log(f"mesh: {dict(mesh.shape)}")
 
     ac = config["acoustics"]
     scfg = StftConfig(
@@ -125,6 +144,7 @@ def main():
         preload_path=args.preloaded_model_path,
         example_feat=feat,
         rng=jax.random.PRNGKey(seed),
+        mesh=mesh,
     )
     trainer.train()
 
