@@ -1,17 +1,30 @@
-"""Benchmark: CRUSE enhancement throughput on one TPU chip.
+"""Benchmark: ALL FIVE BASELINE.json configs on one TPU chip.
 
-Prints ONE JSON line: audio-seconds enhanced per wall-second per chip
-(real-time factor at 16 kHz). Baseline target: 5000x (BASELINE.md).
+Prints one JSON line per config, then a final flagship summary line (the
+driver's ONE line) whose "configs" field embeds every measured number.
+Metric: audio-seconds processed per wall-second per chip (x realtime at
+16 kHz). Baseline target: 5000x (BASELINE.md).
 
-Methodology: the host<->device tunnel costs ~1s per call, so the benchmark
-runs ITERS full enhancement passes on-device inside one `lax.fori_loop`
-(carrying a checksum so nothing is dead-code-eliminated) and divides total
-enhanced audio by wall time. STFT -> CRUSE mask -> iSTFT, the same path as
-`__graft_entry__.entry`.
+Configs (BASELINE.json "configs"):
+  1 cruse           CRUSE-base enhancement (conv enc/dec + GRU bottleneck)
+  2 train_step      CRUSE training step with weighted loss balancer
+  3 cruse_df_stream CRUSE + deep-filter head, streaming causal inference
+                    (concurrent streams through the per-hop scan path)
+  4 dfsmn_stream    DFSMN memory-block variant, frame-by-frame low-latency
+  5 mtfaa_train     MTFAA full-band model end-to-end training
+
+Methodology: the host<->device tunnel costs ~1s per call, so each workload
+runs ITERS passes on-device inside one `lax.fori_loop` (the output feeds the
+next iteration's input, so XLA can neither hoist nor dead-code-eliminate the
+body) and divides total audio by the best-of-3 wall time on fresh inputs.
+
+Env: BENCH_CONFIG=all|cruse|train_step|cruse_df_stream|dfsmn_stream|
+mtfaa_train (comma list ok); BENCH_BATCH/BENCH_DTYPE tweak config 1.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,53 +32,65 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-import os
-
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-SECONDS = 10
 SR = 16000
-ITERS = 20
 BASELINE_X_REALTIME = 5000.0
-MODEL = os.environ.get("BENCH_MODEL", "cruse")  # cruse | cruse_df | dfsmn
-DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 model compute (fp32 DSP);
-# set fp32 for the bit-parity configuration (tests/test_e2e_parity.py)
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")  # config-1 model compute dtype
 
 
-def _build(cfg):
-    """Returns (label, enhance_fn(variables, wav), variables)."""
-    from cruse_tpu.dsp.stft import stft, istft
-    from cruse_tpu.models import CruseNet, CruseConfig, DfsmnNet
+def _wav(rng, b, seconds, scale=0.1):
+    return jnp.asarray(rng.standard_normal((b, seconds * SR)).astype(np.float32) * scale)
 
+
+def _time_best3(fn, *args):
+    """Best-of-3 wall time of a jitted scalar-returning fn on fresh inputs
+    (identical executions can be cached by the tunneled runtime)."""
+    float(fn(*args))  # warmup/compile; float() forces a device round trip
+    times = []
+    for rep in range(3):
+        fresh = tuple(
+            a * (1.0 + 1e-4 * (rep + 1)) if isinstance(a, jax.Array) and a.dtype.kind == "f" else a
+            for a in args
+        )
+        for a in fresh:
+            if isinstance(a, jax.Array):
+                jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        float(fn(*fresh))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _loop_enhance(enhance, variables, wav, iters):
+    """fori_loop over an enhancement fn: out feeds back into the input."""
+
+    @jax.jit
+    def bench_loop(v, noisy):
+        def body(i, carry):
+            acc, x = carry
+            out = enhance(v, x)
+            return acc + out[0, 0], x + 1e-6 * out
+
+        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0.0), noisy))
+        return acc
+
+    return _time_best3(bench_loop, variables, wav)
+
+
+# ---------------------------------------------------------------- config 1
+
+
+def bench_cruse():
+    """CRUSE-base enhancement: STFT -> mask -> iSTFT (flagship)."""
+    from cruse_tpu.dsp.stft import StftConfig, stft, istft
+    from cruse_tpu.models import CruseNet, CruseConfig
+
+    cfg = StftConfig(n_fft=320, hop_length=160)
+    seconds, iters = 10, 20
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((BATCH, SECONDS * SR)).astype(np.float32) * 0.1)
-    if MODEL == "cruse_df":
-        from cruse_tpu.models.cruse_df import CruseDfConfig, CruseDfNet, apply_cruse_df
-
-        mcfg = CruseDfConfig()
-        model = CruseDfNet(mcfg)
-        feat = model.compress(jnp.abs(stft(wav, cfg)))
-        variables = model.init(jax.random.PRNGKey(0), feat)
-
-        def enhance(v, noisy):
-            spec = stft(noisy, cfg)
-            (mask, coefs), _ = model.apply(v, model.compress(jnp.abs(spec)))
-            return istft(apply_cruse_df(spec, mask, coefs, mcfg), cfg, length=noisy.shape[-1])
-
-        return "CRUSE+DF", enhance, variables, wav
-    if MODEL == "dfsmn":
-        model = DfsmnNet(in_freq=161, hidden_dim=256, num_blocks=6, right_frames=0)
-        feat = model.compress(jnp.abs(stft(wav, cfg)))
-        variables = model.init(jax.random.PRNGKey(0), feat)
-
-        def enhance(v, noisy):
-            spec = stft(noisy, cfg)
-            mask, _ = model.apply(v, model.compress(jnp.abs(spec)))
-            return istft(spec * mask, cfg, length=noisy.shape[-1])
-
-        return "DFSMN", enhance, variables, wav
+    wav = _wav(rng, BATCH, seconds)
     model = CruseNet(CruseConfig(in_freq=161))
-    feat = model.compress(jnp.abs(stft(wav, cfg)))
-    variables = model.init(jax.random.PRNGKey(0), feat)
+    variables = model.init(jax.random.PRNGKey(0), model.compress(jnp.abs(stft(wav, cfg))))
     if DTYPE == "bf16":
         variables = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables)
 
@@ -77,52 +102,183 @@ def _build(cfg):
         mask, _ = model.apply(v, feat)
         return istft(spec * mask.astype(jnp.float32), cfg, length=noisy.shape[-1])
 
-    return f"CRUSE/{DTYPE}", enhance, variables, wav
+    elapsed = _loop_enhance(enhance, variables, wav, iters)
+    return f"CRUSE/{DTYPE} enhancement, B={BATCH}", BATCH * seconds * iters / elapsed
+
+
+# ---------------------------------------------------------------- config 2
+
+
+def bench_train_step():
+    """CRUSE training step with the weighted loss balancer (full-size model,
+    bf16 fwd/bwd with fp32 masters -- StepConfig.compute_dtype)."""
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    b, seconds, iters = 64, 10, 10
+    model = CruseNet(CruseConfig(in_freq=161))
+    step_cfg = StepConfig(stft=scfg, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    clean = _wav(rng, b, seconds, 0.05)
+    noisy = clean + _wav(rng, b, seconds, 0.05)
+    state = init_train_state(
+        model, step_cfg, jax.random.PRNGKey(0), model.compress(jnp.abs(stft(noisy, scfg)))
+    )
+    train_step = make_train_step(model, step_cfg)
+
+    @jax.jit
+    def bench_loop(state, noisy, clean):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = train_step(
+                st, {"noisy": noisy + 1e-6 * acc, "clean": clean}
+            )
+            return st, metrics["grad_norm"]
+
+        _, acc = lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        return acc
+
+    elapsed = _time_best3(bench_loop, state, noisy, clean)
+    return f"CRUSE train step + balancer, bf16 compute, B={b}", b * seconds * iters / elapsed
+
+
+# ---------------------------------------------------------------- configs 3/4
+
+
+def _bench_streaming(model, variables, label, b=64, seconds=10, iters=4):
+    """Streaming-causal path: per-hop scan (the real low-latency program),
+    b concurrent streams, whole utterances on device."""
+    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    rng = np.random.default_rng(0)
+    wav = _wav(rng, b, seconds)
+
+    @jax.jit
+    def bench_loop(x):
+        def body(i, carry):
+            acc, xx = carry
+            out = enhancer.run(xx)
+            return acc + out[0, 0], xx.at[:, : out.shape[-1]].add(1e-6 * out)
+
+        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0.0), x))
+        return acc
+
+    elapsed = _time_best3(bench_loop, wav)
+    return label, b * seconds * iters / elapsed
+
+
+def bench_cruse_df_stream():
+    from cruse_tpu.models.cruse_df import CruseDfConfig, CruseDfNet
+
+    model = CruseDfNet(CruseDfConfig())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 161)))
+    return _bench_streaming(
+        model, variables, "CRUSE+DF streaming causal, 64 concurrent streams"
+    )
+
+
+def bench_dfsmn_stream():
+    from cruse_tpu.models import DfsmnNet
+
+    model = DfsmnNet(in_freq=161, hidden_dim=256, num_blocks=6, right_frames=0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 161)))
+    return _bench_streaming(
+        model, variables, "DFSMN frame-by-frame streaming, 64 concurrent streams"
+    )
+
+
+# ---------------------------------------------------------------- config 5
+
+
+def bench_mtfaa_train():
+    """MTFAA full-band model end-to-end training step."""
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import MtfaaNet
+    from cruse_tpu.models.mtfaa import MtfaaConfig
+    from cruse_tpu.train.step import (
+        StepConfig,
+        init_train_state,
+        make_train_step,
+        forward_for_model,
+    )
+
+    scfg = StftConfig(n_fft=512, hop_length=256)
+    b, seconds, iters = 16, 10, 4
+    model = MtfaaNet(MtfaaConfig())
+    step_cfg = StepConfig(stft=scfg, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    clean = _wav(rng, b, seconds, 0.05)
+    noisy = clean + _wav(rng, b, seconds, 0.05)
+    spec = stft(noisy, scfg)
+    feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    state = init_train_state(model, step_cfg, jax.random.PRNGKey(0), feat)
+    train_step = make_train_step(model, step_cfg, forward=forward_for_model(model))
+
+    @jax.jit
+    def bench_loop(state, noisy, clean):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = train_step(st, {"noisy": noisy + 1e-6 * acc, "clean": clean})
+            return st, metrics["grad_norm"]
+
+        _, acc = lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        return acc
+
+    elapsed = _time_best3(bench_loop, state, noisy, clean)
+    return f"MTFAA end-to-end training, B={b}", b * seconds * iters / elapsed
+
+
+# -----------------------------------------------------------------------
+
+
+BENCHES = {
+    "cruse": bench_cruse,
+    "train_step": bench_train_step,
+    "cruse_df_stream": bench_cruse_df_stream,
+    "dfsmn_stream": bench_dfsmn_stream,
+    "mtfaa_train": bench_mtfaa_train,
+}
 
 
 def main():
-    from cruse_tpu.dsp.stft import StftConfig
-
-    cfg = StftConfig(n_fft=320, hop_length=160)
-    label, enhance, variables, wav = _build(cfg)
-
-    @jax.jit
-    def bench_loop(v, noisy):
-        def body(i, carry):
-            acc, x = carry
-            out = enhance(v, x)
-            # feed the output back into the next iteration's input: creates a
-            # sequential dependence so XLA cannot hoist the loop body
-            return acc + out[0, 0], x + 1e-6 * out
-        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), noisy))
-        return acc
-
-    # warmup/compile (float() forces a real device round trip -- on the
-    # tunneled runtime block_until_ready alone can return early)
-    float(bench_loop(variables, wav))
-
-    # time on FRESH inputs each call (identical executions can be cached by
-    # the remote runtime); take the best of 3 to shed host/tunnel jitter
-    times = []
-    for rep in range(3):
-        wav_rep = wav * (1.0 + 1e-4 * (rep + 1))
-        float(wav_rep[0, 0])
-        t0 = time.perf_counter()
-        float(bench_loop(variables, wav_rep))
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-
-    audio_sec = BATCH * SECONDS * ITERS
-    x_rt = audio_sec / elapsed
+    sel = os.environ.get("BENCH_CONFIG", "all")
+    names = list(BENCHES) if sel == "all" else [s.strip() for s in sel.split(",")]
+    results = {}
+    for i, name in enumerate(names, 1):
+        label, x_rt = BENCHES[name]()
+        results[name] = {"value": round(x_rt, 1), "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3)}
+        print(
+            json.dumps(
+                {
+                    "config": name,
+                    "metric": "audio_sec_per_sec_per_chip",
+                    "value": round(x_rt, 1),
+                    "unit": f"x realtime @16kHz ({label})",
+                    "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
+                }
+            ),
+            flush=True,
+        )
+    # final flagship summary line (the driver's ONE JSON line)
+    flag = results.get("cruse", next(iter(results.values())))
     print(
         json.dumps(
             {
                 "metric": "audio_sec_enhanced_per_sec_per_chip",
-                "value": round(x_rt, 1),
-                "unit": f"x realtime @16kHz ({label} + STFT/iSTFT, B={BATCH})",
-                "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
+                "value": flag["value"],
+                "unit": f"x realtime @16kHz (CRUSE/{DTYPE} + STFT/iSTFT, B={BATCH}); "
+                        "'configs' = all five BASELINE configs",
+                "vs_baseline": flag["vs_baseline"],
+                "configs": results,
+                "min_vs_baseline": round(min(r["vs_baseline"] for r in results.values()), 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -44,8 +44,15 @@ def _steady_envelope(cfg: StftConfig) -> np.ndarray:
 
 
 class StreamingEnhancer:
+    """Drives any causal zoo model frame-by-frame. Magnitude-mask models
+    (CRUSE, DFSMN) apply the mask per frame; CruseDfNet additionally runs the
+    complex deep-filter head over a rolling masked-spectrum history
+    (benchmark config 3's streaming-causal path)."""
+
     def __init__(self, model, variables, cfg: StftConfig):
         assert not cfg.center, "streaming path uses center=False configs"
+        from cruse_tpu.models.cruse_df import CruseDfNet
+
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -54,14 +61,20 @@ class StreamingEnhancer:
         self._syn = jnp.asarray(np.asarray(_synthesis_kernel(cfg))[:, 0, :])  # [2F, N]
         self._env_hop = jnp.asarray(_steady_envelope(cfg))
         self._num_bins = f
+        self._is_df = isinstance(model, CruseDfNet)
         self._step_jit = jax.jit(self._step_impl)
 
     def init_state(self, batch_size: int) -> StreamState:
         n, hop = self.cfg.n_fft, self.cfg.hop_length
+        model_state = self.model.init_state(batch_size)
+        if self._is_df:
+            from cruse_tpu.models.cruse_df import df_stream_init
+
+            model_state = (model_state, df_stream_init(batch_size, self.model.config))
         return StreamState(
             input_tail=jnp.zeros((batch_size, n - hop)),
             ola_tail=jnp.zeros((batch_size, n - hop)),
-            model_state=self.model.init_state(batch_size),
+            model_state=model_state,
         )
 
     def prime(self, state: StreamState, samples: jax.Array) -> StreamState:
@@ -81,9 +94,21 @@ class StreamingEnhancer:
         real, imag = ri[:, :f], ri[:, f:]
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
         feat = self.model.compress(mag)[:, None, :]  # [B, 1, F]
-        mask, model_state = self.model.apply(self.variables, feat, state.model_state)
-        m = mask[:, 0, :]
-        enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
+        if self._is_df:
+            from cruse_tpu.models.cruse_df import apply_cruse_df_streaming
+
+            net_state, df_state = state.model_state
+            (mask, coefs), net_state = self.model.apply(self.variables, feat, net_state)
+            enh, df_state = apply_cruse_df_streaming(
+                df_state, jax.lax.complex(real, imag),
+                mask[:, 0, :], coefs[:, 0], self.model.config,
+            )
+            enh_ri = jnp.concatenate([jnp.real(enh), jnp.imag(enh)], axis=-1)
+            model_state = (net_state, df_state)
+        else:
+            mask, model_state = self.model.apply(self.variables, feat, state.model_state)
+            m = mask[:, 0, :]
+            enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
         synth = enh_ri @ self._syn  # [B, n] windowed inverse frame
         ola = jnp.concatenate([state.ola_tail, jnp.zeros_like(hop_samples)], axis=-1) + synth
         out = ola[:, :hop] / self._env_hop

@@ -386,14 +386,19 @@ class MtfaaNet(nn.Module):
         else:
             mask = nn.relu(mask)
 
-        spec = jax.lax.complex(cspec[..., 0], cspec[..., 1])
-        enhanced = spec * mask
+        # spectral math stays fp32 even under bf16 model compute
+        # (lax.complex has no bf16 kernel; phase accuracy wants fp32 anyway)
+        spec = jax.lax.complex(
+            cspec[..., 0].astype(jnp.float32), cspec[..., 1].astype(jnp.float32)
+        )
+        enhanced = spec * mask.astype(jnp.float32)
 
         if cfg.use_deep_filter:
             feats = x.reshape(*x.shape[:2], -1)  # [B, T, K*C]
             coefs = nn.Dense(
                 cfg.num_bins * self._df_taps * 2, name="df_coef_head"
             )(feats).reshape(*feats.shape[:2], cfg.num_bins, self._df_taps, 2) / self._df_taps
+            coefs = coefs.astype(jnp.float32)
             from cruse_tpu.models.deep_filter import deep_filter_apply, tap_offsets
 
             if state is None:

@@ -30,6 +30,7 @@ from cruse_tpu.losses.spectral import (
     compressed_spectral_loss,
     weighted_male_loss,
     multi_res_spectral_loss,
+    sdnr_loss,
 )
 
 
@@ -54,6 +55,10 @@ class StepConfig:
     skip_nonfinite_updates: bool = True  # NaN/Inf gradient guard: drop the
     # update instead of poisoning the params (the reference only *logged*
     # NaNs, train_base/utils.py:48-50)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16": model fwd/bwd in
+    # bf16 with fp32 master params + fp32 DSP/losses/updates (TPU-native
+    # mixed precision -- replaces the reference's CUDA AMP GradScaler,
+    # base_trainer.py:41-42; bf16's fp32-sized exponent needs no loss scale)
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
@@ -147,16 +152,53 @@ def cruse_df_model_forward(model):
     return forward
 
 
+def cast_forward(forward: Callable, dtype) -> Callable:
+    """Mixed precision: run the model forward (and thus its vjp) in `dtype`
+    while params, DSP, losses, and the optimizer stay fp32. The params cast
+    is linear, so its vjp hands fp32 cotangents straight back to the fp32
+    masters."""
+
+    def f(params, batch_stats, noisy_ri, train=True):
+        p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        bs = jax.tree_util.tree_map(lambda x: x.astype(dtype), batch_stats)
+        out, new_stats = forward(p, bs, noisy_ri.astype(dtype), train=train)
+        return (
+            out.astype(jnp.float32),
+            jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), new_stats),
+        )
+
+    return f
+
+
+def fullsubnet_model_forward(model):
+    """Adapter for FullSubNet: magnitude in, compressed cIRM out; enhanced RI
+    via cIRM decompression + complex multiply (mask.py:41-63 semantics)."""
+    from cruse_tpu.dsp.mask import complex_mul, decompress_cirm
+
+    def forward(params, batch_stats, noisy_ri, train=True):
+        mag = jnp.sqrt(noisy_ri[..., 0] ** 2 + noisy_ri[..., 1] ** 2 + 1e-12)
+        cirm, _ = model.apply({"params": params}, mag, None, train)
+        mr = decompress_cirm(cirm[..., 0])
+        mi = decompress_cirm(cirm[..., 1])
+        er, ei = complex_mul(noisy_ri[..., 0], noisy_ri[..., 1], mr, mi)
+        return jnp.stack([er, ei], axis=-1), batch_stats
+
+    return forward
+
+
 def forward_for_model(model) -> Callable:
     """Pick the right forward adapter for any zoo model."""
     from cruse_tpu.models.mtfaa import MtfaaNet
     from cruse_tpu.models.bsrnn import BSRNN
     from cruse_tpu.models.cruse_df import CruseDfNet
+    from cruse_tpu.models.fullsubnet import FullSubNet
 
     if isinstance(model, (MtfaaNet, BSRNN)):
         return complex_model_forward(model)
     if isinstance(model, CruseDfNet):
         return cruse_df_model_forward(model)
+    if isinstance(model, FullSubNet):
+        return fullsubnet_model_forward(model)
     return mask_model_forward(model)
 
 
@@ -171,6 +213,8 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
                              rescale_grads=cfg.rescale_grads)
     scfg = cfg.stft
     forward = forward if forward is not None else mask_model_forward(model)
+    if cfg.compute_dtype is not None:
+        forward = cast_forward(forward, jnp.dtype(cfg.compute_dtype))
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         noisy, clean = batch["noisy"], batch["clean"]
@@ -197,7 +241,22 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             "multi_res": lambda out: multi_res_spectral_loss(
                 istft((out[..., 0], out[..., 1]), scfg, length=length), clean
             ),
+            "sdnr": lambda out: _sdnr_from_output(out) / norm,
         }
+
+        def _sdnr_from_output(out):
+            # SDNR is VAD-gated and SNR-weighted (reference loss.py:151-175):
+            # gain recovered from the enhanced magnitude, noise = noisy-clean,
+            # per-utterance SNR from the waveforms.
+            noisy_mag = jnp.sqrt(noisy_ri[..., 0] ** 2 + noisy_ri[..., 1] ** 2 + 1e-12)
+            enh_mag = jnp.sqrt(out[..., 0] ** 2 + out[..., 1] ** 2 + 1e-12)
+            gain = jnp.clip(enh_mag / (noisy_mag + 1e-8), 0.0, 1.0)
+            noise = noisy - clean
+            snr_db = 10.0 * jnp.log10(
+                jnp.sum(clean**2, -1) / (jnp.sum(noise**2, -1) + 1e-10) + 1e-10
+            )
+            return sdnr_loss(clean_spec, gain, noisy_spec - clean_spec, snr_db)
+
         loss_fns = {k: available[k] for k, _ in cfg.loss_weights}
 
         out_grad, losses, new_bal_state, metrics = balancer.output_cotangent(

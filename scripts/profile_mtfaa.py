@@ -1,0 +1,103 @@
+"""Which MTFAA component dominates the training step? Variant timing on-chip.
+
+Timing rules (learned the hard way): identical executions are cached by the
+tunneled runtime, so every rep must see fresh inputs AND the on-device loop
+must create a sequential data dependence (output feeds the next input).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cruse_tpu.dsp.stft import StftConfig, stft
+from cruse_tpu.models import MtfaaNet
+from cruse_tpu.models.mtfaa import MtfaaConfig
+from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step, forward_for_model
+
+B, SECONDS, ITERS = 16, 10, 4
+SR = 16000
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.standard_normal((B, SECONDS * SR)).astype(np.float32) * 0.05)
+    noisy = clean + jnp.asarray(
+        rng.standard_normal((B, SECONDS * SR)).astype(np.float32) * 0.05
+    )
+    return noisy, clean
+
+
+def _time3(loop, *args):
+    jax.block_until_ready(loop(*args))
+    times = []
+    for rep in range(3):
+        fresh = (args[0] * (1.0 + 1e-4 * (rep + 1)),) + args[1:]
+        jax.block_until_ready(fresh[0])
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(*fresh))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def measure_train(name, mcfg, loss_weights=(("si_snr", 1.0), ("spec", 1.0))):
+    scfg = StftConfig(n_fft=512, hop_length=256)
+    model = MtfaaNet(mcfg)
+    noisy, clean = _data()
+    spec = stft(noisy, scfg)
+    feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16", loss_weights=loss_weights)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = make_train_step(model, cfg, forward=forward_for_model(model))
+
+    @jax.jit
+    def loop(noisy, clean, state):
+        def body(i, carry):
+            st, acc = carry
+            st, m = step(st, {"noisy": noisy + 1e-6 * acc, "clean": clean})
+            return st, m["grad_norm"]
+        _, acc = lax.fori_loop(0, ITERS, body, (state, jnp.float32(0.0)))
+        return acc
+
+    dt = _time3(loop, noisy, clean, state)
+    print(f"{name:44s} {B * SECONDS * ITERS / dt:10.0f}x RT  ({dt / ITERS * 1e3:7.1f} ms/step)",
+          flush=True)
+
+
+def measure_forward(name, mcfg):
+    scfg = StftConfig(n_fft=512, hop_length=256)
+    model = MtfaaNet(mcfg)
+    noisy, _ = _data()
+    spec = stft(noisy, scfg)
+    feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    cfg = StepConfig(stft=scfg)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    fwd = forward_for_model(model)
+
+    @jax.jit
+    def loop(feat, params, stats):
+        def body(i, carry):
+            acc, x = carry
+            out, _ = fwd(params, stats, x, train=False)
+            return acc + out[0, 0, 0, 0], x + 1e-6 * out
+        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), feat))
+        return acc
+
+    dt = _time3(loop, feat, state.params, state.batch_stats)
+    print(f"{name:44s} {B * SECONDS * ITERS / dt:10.0f}x RT  ({dt / ITERS * 1e3:7.1f} ms/fwd)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    base = MtfaaConfig()
+    measure_forward("forward only (base)", base)
+    measure_train("train base (si_snr+spec)", base)
+    measure_train("train si_snr only", base, loss_weights=(("si_snr", 1.0),))
+    measure_train("train no deep filter", MtfaaConfig(use_deep_filter=False))
+    measure_train("train tfcm_layers=2", MtfaaConfig(tfcm_layers=2))
+    measure_train("train channels=(16,24,32)", MtfaaConfig(channels=(16, 24, 32)))

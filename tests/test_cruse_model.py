@@ -109,6 +109,51 @@ def test_train_step_alternate_losses(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_train_step_sdnr_loss(rng):
+    """sdnr is selectable from loss_weights (VAD-gated, SNR-weighted,
+    reference loss.py:151-175) and trains."""
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = _small_model()
+    cfg = StepConfig(stft=scfg, loss_weights=(("si_snr", 1.0), ("sdnr", 1.0)))
+    clean = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+    batch = {
+        "noisy": jnp.asarray(clean + rng.standard_normal((2, 3200)).astype(np.float32) * 0.1),
+        "clean": jnp.asarray(clean),
+    }
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    first = None
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss_sdnr"])
+    assert np.isfinite(float(metrics["loss_sdnr"]))
+    assert float(metrics["loss_sdnr"]) < first
+
+
+def test_train_step_bf16_compute(rng):
+    """compute_dtype='bfloat16': fwd/bwd in bf16, fp32 master params; loss
+    still decreases and params/opt state stay fp32."""
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = _small_model()
+    cfg = StepConfig(stft=scfg, learning_rate=1e-3, compute_dtype="bfloat16")
+    clean = rng.standard_normal((4, 4800)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((4, 4800)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + noise), "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    first = None
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss_si_snr"])
+    assert float(metrics["loss_si_snr"]) < first, (first, float(metrics["loss_si_snr"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_nonfinite_gradient_guard(rng):
     """A poisoned batch (NaNs) must not corrupt the parameters."""
     scfg = StftConfig(n_fft=320, hop_length=160)

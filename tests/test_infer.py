@@ -53,6 +53,32 @@ def test_streaming_matches_offline(rng):
     np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n], atol=1e-4)
 
 
+def test_streaming_cruse_df_matches_offline(rng):
+    """The unified StreamingEnhancer drives CruseDfNet (mask + deep-filter
+    head) frame-by-frame and matches the offline apply_cruse_df path."""
+    from cruse_tpu.models.cruse_df import CruseDfConfig, CruseDfNet, apply_cruse_df
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    mcfg = CruseDfConfig(
+        cruse=CruseConfig(in_freq=161, channels=(4, 8, 8, 16), rnn_groups=4, emit_features=True),
+        df_bins=32, df_taps_t=1, df_taps_f=1,
+    )
+    model = CruseDfNet(mcfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 161)))
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    streamed = np.asarray(enhancer.run(jnp.asarray(wav)))
+
+    spec = stft(jnp.asarray(wav), cfg)
+    (mask, coefs), _ = model.apply(variables, model.compress(jnp.abs(spec)))
+    offline = np.asarray(istft(apply_cruse_df(spec, mask, coefs, mcfg), cfg))
+
+    n = cfg.n_fft
+    m = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n], atol=1e-4)
+
+
 def test_streaming_step_api(rng):
     cfg = StftConfig(n_fft=320, hop_length=160, center=False)
     model, variables = _model_and_vars()
