@@ -12,12 +12,14 @@ from cruse_tpu.models.dfsmn import DfsmnNet, DfsmnBlock  # noqa: F401
 from cruse_tpu.models.deep_filter import DeepFilterHead, deep_filter_apply  # noqa: F401
 from cruse_tpu.models.mtfaa import MtfaaNet, MtfaaConfig  # noqa: F401
 from cruse_tpu.models.bsrnn import BSRNN, Discriminator  # noqa: F401
+from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig  # noqa: F401
 
 MODEL_REGISTRY = {
     "cruse": CruseNet,
     "dfsmn": DfsmnNet,
     "mtfaa": MtfaaNet,
     "bsrnn": BSRNN,
+    "fullsubnet": FullSubNet,
 }
 
 
@@ -33,6 +35,7 @@ def build_from_config(model_cfg):
         "CruseConfig": CruseNet,
         "MtfaaConfig": MtfaaNet,
         "CruseDfConfig": CruseDfNet,
+        "FullSubNetConfig": FullSubNet,
     }
     cls = mapping.get(type(model_cfg).__name__)
     return cls(model_cfg) if cls is not None else model_cfg

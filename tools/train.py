@@ -85,16 +85,9 @@ def main():
     )
 
     model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
-    from cruse_tpu.models import CruseNet, MtfaaNet
-    from cruse_tpu.models.cruse_df import CruseDfNet
+    from cruse_tpu.models import build_from_config
 
-    _cfg_to_net = {
-        "CruseConfig": CruseNet,
-        "MtfaaConfig": MtfaaNet,
-        "CruseDfConfig": CruseDfNet,
-    }
-    net_cls = _cfg_to_net.get(type(model_cfg).__name__)
-    model = net_cls(model_cfg) if net_cls is not None else model_cfg
+    model = build_from_config(model_cfg)
 
     opt = config.get("optimizer", {})
     tr = config.get("trainer", {}).get("train", {})
