@@ -17,7 +17,16 @@ from cruse_tpu.metrics.pmos import pmos
 
 
 def _wb_pesq(reference, estimation, sr=16000):
-    from pesq import pesq as _pesq  # external, like the reference's dep
+    """ITU binary when the external ``pesq`` package exists (the reference's
+    dependency); otherwise the native P.862 pipeline (metrics/pesq_native.py)
+    so WB_PESQ -- and thus the composite best-model score -- is always
+    computable."""
+    try:
+        from pesq import pesq as _pesq  # external, like the reference's dep
+    except ImportError:
+        from cruse_tpu.metrics.pesq_native import wb_pesq_native
+
+        return wb_pesq_native(reference, estimation, sr=sr)
 
     if sr != 16000:
         from scipy.signal import resample_poly
@@ -69,7 +78,9 @@ def available_metrics() -> Dict[str, bool]:
     for name in REGISTERED_METRICS:
         if name in _NATIVE:
             out[name] = True
-        elif name in ("WB_PESQ", "NB_PESQ"):
+        elif name == "WB_PESQ":
+            out[name] = True  # native P.862 fallback always present
+        elif name == "NB_PESQ":
             try:
                 import pesq  # noqa: F401
 
@@ -94,9 +105,9 @@ def compute_metric(name: str, reference, estimation, sr=16000):
 
 def composite_score(metric_means: Dict[str, float]) -> float:
     """Best-model selection score: (STOI + (WB_PESQ + 0.5)/5) / 2
-    (base_trainer.py:370-376). When the external PESQ package is absent, the
-    native PMOS proxy (same [1, 4.64] range) substitutes; with neither,
-    STOI alone drives selection. The score stays in [0, 1]."""
+    (base_trainer.py:370-376). WB_PESQ is always computable (ITU binary when
+    the external package exists, native P.862 pipeline otherwise); the PMOS
+    proxy substitutes only if WB_PESQ wasn't requested. Score in [0, 1]."""
     stoi_mean = metric_means.get("STOI", 0.0)
     mos = metric_means.get("WB_PESQ", metric_means.get("PMOS"))
     if mos is not None:

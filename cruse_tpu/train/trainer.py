@@ -54,7 +54,7 @@ class TrainerConfig:
     save_checkpoint_interval: int = 1
     validation_interval: int = 1
     save_max_metric_score: bool = True
-    metrics: tuple = ("STOI", "SI_SDR", "PMOS")
+    metrics: tuple = ("STOI", "SI_SDR", "WB_PESQ", "PMOS")
     sr: int = 16000  # validation scoring + TB audio sample rate
     save_dir: str = "runs/exp"
     experiment_name: str = "cruse"

@@ -80,6 +80,40 @@ def test_pmos_behavior(rng):
     assert pmos(x, np.clip(x, -0.05, 0.05)) < 3.0
 
 
+def test_native_wb_pesq_behavior(rng):
+    """Native P.862 pipeline (metrics/pesq_native.py): identity at ceiling,
+    level/delay invariance (alignment stages), monotone in SNR near the
+    familiar WB-PESQ anchors, distortion sensitivity."""
+    from cruse_tpu.metrics.pesq_native import wb_pesq_native
+
+    x = _speechlike(rng, seconds=4.0)
+    assert wb_pesq_native(x, x) > 4.6  # identity -> MOS ceiling
+    assert wb_pesq_native(x, 0.4 * x) > 4.5  # level alignment
+    delayed = np.concatenate([np.zeros(700), x])[: len(x)]
+    assert wb_pesq_native(x, delayed) > 4.2  # time alignment
+    n = rng.standard_normal(len(x))
+    scores = []
+    for snr_db in (30, 20, 10, 0):
+        a = 10 ** (-snr_db / 20) * np.std(x) / np.std(n)
+        scores.append(wb_pesq_native(x, x + a * n))
+    assert scores[0] > scores[1] > scores[2] > scores[3]  # monotone in SNR
+    assert 2.8 < scores[0] < 4.4  # ~3.5 expected at 30 dB
+    assert 1.0 <= scores[3] < 2.2  # ~1.4 expected at 0 dB
+    # nonlinear distortion penalized
+    assert wb_pesq_native(x, np.clip(x, -0.05, 0.05)) < 3.5
+
+
+def test_wb_pesq_always_available():
+    """WB_PESQ binds to the native pipeline when the external package is
+    absent, so the composite best-model score never degrades to STOI-only."""
+    avail = available_metrics()
+    assert avail["WB_PESQ"] is True
+    rng = np.random.default_rng(1)
+    x = _speechlike(rng, seconds=2.0)
+    v = compute_metric("WB_PESQ", x, x + 0.01 * rng.standard_normal(len(x)))
+    assert 1.0 <= v <= 4.644
+
+
 def test_registry_dispatch(rng):
     x = rng.standard_normal(16000)
     v = compute_metric("SI_SDR", x, x + 0.1 * rng.standard_normal(16000))
