@@ -181,8 +181,9 @@ class Discriminator(nn.Module):
 
 
 def batch_quality_scores(clean_list, est_list, sr=16000):
-    """MetricGAN target scores in [0, 1]: normalized PESQ when the external
-    package is available (testBSRNN.py:26-32), else STOI."""
+    """MetricGAN target scores in [0, 1]: normalized PESQ -- the external
+    package when available (testBSRNN.py:26-32), the native P.862 pipeline
+    (metrics/pesq_native.py) otherwise."""
     try:
         from pesq import pesq as _pesq
 
@@ -194,6 +195,9 @@ def batch_quality_scores(clean_list, est_list, sr=16000):
                 return None
         return np.asarray(scores, np.float32)
     except ImportError:
-        from cruse_tpu.metrics.stoi import stoi
+        from cruse_tpu.metrics.pesq_native import wb_pesq_native
 
-        return np.asarray([stoi(c, e, sr) for c, e in zip(clean_list, est_list)], np.float32)
+        return np.asarray(
+            [(wb_pesq_native(c, e, sr) + 0.5) / 5.0 for c, e in zip(clean_list, est_list)],
+            np.float32,
+        )

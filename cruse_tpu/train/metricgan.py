@@ -2,14 +2,19 @@
 and the generator chases the perfect score.
 
 The reference only sketches the pieces (testBSRNN.py: Discriminator,
-batch_pesq scorer, LearnableSigmoid); this wires them into an alternating
-training scheme:
+batch_pesq scorer, LearnableSigmoid); this wires them into the full
+MetricGAN+ recipe:
 
 - D step: MSE( D(clean, clean), 1 ) + MSE( D(clean, enhanced), s ) where s is
-  the measured quality score of `enhanced` (normalized PESQ when available,
-  STOI otherwise -- scored on the host, outside jit)
-- G step: task losses (via the usual balancer path) + adv_weight *
-  MSE( D(clean, enhanced), 1 )
+  the measured quality score of `enhanced` (normalized PESQ: external
+  package or the native P.862 pipeline -- scored on the host, outside jit)
+- historical replay buffer: past (clean, enhanced, score) triples re-enter
+  D training so the metric surrogate doesn't forget earlier generator
+  behavior as G moves (the MetricGAN+ "learner history" trick)
+- D pretraining: before the alternation, D regresses scores of synthetic
+  degradations (noisy mixtures at the batch's own SNRs), so G's adversarial
+  gradient is meaningful from step one
+- G step: task losses + adv_weight * MSE( D(clean, enhanced), 1 )
 
 Both steps are jitted; the host sits between them only to compute s.
 """
@@ -135,9 +140,69 @@ def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig):
     return enhance, disc_step, gen_step
 
 
-def metricgan_train_batch(state: MetricGanState, batch, steps, sr: int = 16000):
-    """One full alternation: enhance -> host quality scoring -> D step -> G
-    step. Returns (state, metrics)."""
+class ReplayBuffer:
+    """Historical (clean, enhanced, score) triples for D replay.
+
+    Bounded FIFO on the host; `sample` draws a random past batch so each D
+    update sees one fresh batch and one historical batch."""
+
+    def __init__(self, capacity: int = 32, seed: int = 0):
+        self.capacity = capacity
+        self._items: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def add(self, clean, enhanced, scores) -> None:
+        self._items.append(
+            (np.asarray(clean), np.asarray(enhanced), np.asarray(scores, np.float32))
+        )
+        if len(self._items) > self.capacity:
+            self._items.pop(0)
+
+    def sample(self):
+        if not self._items:
+            return None
+        return self._items[self._rng.integers(len(self._items))]
+
+
+def pretrain_discriminator(
+    state: MetricGanState,
+    steps,
+    batches,
+    sr: int = 16000,
+    replay: ReplayBuffer | None = None,
+):
+    """D pretraining on metric-scored synthetic degradations: for each
+    (noisy, clean) batch the *noisy mixture itself* is the degraded signal
+    (its SNR spread spans the score range), so D learns the quality surface
+    before G produces anything. Returns (state, mean disc loss)."""
+    _, disc_step, _ = steps
+    losses = []
+    for batch in batches:
+        clean, noisy = batch["clean"], batch["noisy"]
+        scores = batch_quality_scores(
+            list(np.asarray(clean)), list(np.asarray(noisy)), sr=sr
+        )
+        if scores is None:
+            continue
+        state, m = disc_step(state, clean, noisy, jnp.asarray(scores))
+        if replay is not None:
+            replay.add(clean, noisy, scores)
+        losses.append(float(m["disc_loss"]))
+    return state, float(np.mean(losses)) if losses else float("nan")
+
+
+def metricgan_train_batch(
+    state: MetricGanState,
+    batch,
+    steps,
+    sr: int = 16000,
+    replay: ReplayBuffer | None = None,
+):
+    """One full alternation: enhance -> host quality scoring -> D step (fresh
+    batch + one historical replay batch) -> G step. Returns (state, metrics)."""
     enhance, disc_step, gen_step = steps
     enhanced = enhance(state, batch["noisy"])
     scores = batch_quality_scores(
@@ -147,5 +212,11 @@ def metricgan_train_batch(state: MetricGanState, batch, steps, sr: int = 16000):
         metrics_d = {"disc_loss": jnp.nan}
     else:
         state, metrics_d = disc_step(state, batch["clean"], enhanced, jnp.asarray(scores))
+        if replay is not None:
+            past = replay.sample()
+            if past is not None:
+                c, e, s = past
+                state, _ = disc_step(state, jnp.asarray(c), jnp.asarray(e), jnp.asarray(s))
+            replay.add(batch["clean"], enhanced, scores)
     state, metrics_g = gen_step(state, batch)
     return state, {**metrics_d, **metrics_g}
