@@ -6,10 +6,13 @@ uses the wrong operand) unfolds a (2t+1)x(2f+1) neighborhood with an
 identity-kernel conv and complex-multiplies with predicted filters.
 
 TPU-native design: no unfold/materialized neighborhoods -- each tap is a
-static shift of the spectrum fused into a multiply-accumulate (XLA keeps it
-in registers; a Pallas variant lives in cruse_tpu.ops). Supports both the
-reference's symmetric (non-causal) tap layout and the DeepFilterNet-style
-causal layout (taps reach only into the past).
+static shift of the spectrum fused into a multiply-accumulate. This path is
+autodiff-able and is the training formulation; a single-HBM-pass Pallas
+kernel for the causal case lives in cruse_tpu.ops.deep_filter_kernel
+(parity-tested; measured against this path by
+scripts/profile_deep_filter.py). Supports both the reference's symmetric
+(non-causal) tap layout and the DeepFilterNet-style causal layout (taps
+reach only into the past).
 """
 from __future__ import annotations
 

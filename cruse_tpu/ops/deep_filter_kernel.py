@@ -1,0 +1,128 @@
+"""Pallas TPU kernel for causal deep filtering (complex multi-frame filter).
+
+The op (reference model/deep_filter.py:15-41, repaired): for each TF bin,
+    out[t, f] = sum_k coef[t, f, k] * spec[t - dt_k, f - df_k]   (complex)
+with causal taps dt in [0, 2*t_dim], df in [-f_dim, f_dim].
+
+Why a kernel: the op is HBM-bandwidth-bound. The XLA shift-MAC formulation
+(models/deep_filter.py) materializes K shifted copies of the spectrum per
+component; fused or not, each tap is a distinct HBM read stream, so the
+spectrum is read ~2K times. This kernel streams each spectrum block through
+VMEM ONCE: the time-shifted views are assembled from the current block and
+the previous block (two non-overlapping VMEM tiles), and the frequency
+shifts are lane rolls — so HBM traffic is the theoretical minimum
+(spec once + coefs once + out once).
+
+Grid: (B, ceil(T / T_BLK)). Each program reads spec block j and block j-1
+(clamped at the sequence start; rows reaching t<0 are masked to zero, the
+same zero-fill semantics as the shift-MAC path). Forward-only: training
+takes the autodiff-able shift-MAC path; this kernel serves the offline
+inference/serving path (wired in models/cruse_df.apply_cruse_df via
+use_pallas).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cruse_tpu.models.deep_filter import tap_offsets
+
+T_BLK = 128
+
+
+def _df_kernel(spec_r_prev, spec_i_prev, spec_r_cur, spec_i_cur,
+               coef_r_ref, coef_i_ref, out_r_ref, out_i_ref,
+               *, offsets, t_blk):
+    j = pl.program_id(1)
+    f = out_r_ref.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_blk, f), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_blk, f), 1)
+    first_block = j == 0
+
+    acc_r = jnp.zeros((t_blk, f), jnp.float32)
+    acc_i = jnp.zeros((t_blk, f), jnp.float32)
+    for k, (dt, df) in enumerate(offsets):
+        # time shift: rows [i - dt] assembled from prev tail + cur head
+        if dt == 0:
+            sr = spec_r_cur[0]
+            si = spec_i_cur[0]
+        else:
+            sr = jnp.concatenate(
+                [spec_r_prev[0, t_blk - dt :], spec_r_cur[0, : t_blk - dt]], axis=0
+            )
+            si = jnp.concatenate(
+                [spec_i_prev[0, t_blk - dt :], spec_i_cur[0, : t_blk - dt]], axis=0
+            )
+            # at the sequence start block j==0 has no real predecessor
+            # (index map clamps to block 0): zero rows that reach t < 0
+            invalid = jnp.logical_and(first_block, row < dt)
+            sr = jnp.where(invalid, 0.0, sr)
+            si = jnp.where(invalid, 0.0, si)
+        if df != 0:
+            # freq shift: circular lane roll (shift must be non-negative:
+            # df % f is the equivalent positive rotation) + zero the wrap
+            sr = pltpu.roll(sr, shift=df % f, axis=1)
+            si = pltpu.roll(si, shift=df % f, axis=1)
+            if df > 0:
+                mask = col < df
+            else:
+                mask = col >= f + df
+            sr = jnp.where(mask, 0.0, sr)
+            si = jnp.where(mask, 0.0, si)
+        cr = coef_r_ref[0, k]
+        ci = coef_i_ref[0, k]
+        acc_r = acc_r + sr * cr - si * ci
+        acc_i = acc_i + sr * ci + si * cr
+    out_r_ref[0] = acc_r
+    out_i_ref[0] = acc_i
+
+
+@functools.partial(jax.jit, static_argnames=("t_dim", "f_dim"))
+def deep_filter_pallas(spec_r, spec_i, coef_r, coef_i, t_dim: int, f_dim: int):
+    """Causal deep filter on TPU via Pallas.
+
+    spec_*: [B, T, F]; coef_*: [B, T, F, K] (tap_offsets(t_dim, f_dim,
+    causal=True) ordering, same API as models.deep_filter.deep_filter_apply
+    with causal=True). Returns (out_r, out_i) [B, T, F].
+    """
+    offsets = tap_offsets(t_dim, f_dim, causal=True)
+    k = len(offsets)
+    assert coef_r.shape[-1] == k, (coef_r.shape, k)
+    assert 2 * t_dim <= T_BLK
+    b, t, f = spec_r.shape
+    t_pad = (T_BLK - t % T_BLK) % T_BLK
+    if t_pad:
+        pad3 = ((0, 0), (0, t_pad), (0, 0))
+        spec_r = jnp.pad(spec_r, pad3)
+        spec_i = jnp.pad(spec_i, pad3)
+        coef_r = jnp.pad(coef_r, pad3 + ((0, 0),))
+        coef_i = jnp.pad(coef_i, pad3 + ((0, 0),))
+    tp = t + t_pad
+    # [B, T, F, K] -> [B, K, T, F]: lanes = F, and each tap slice
+    # coef[0, k] inside the kernel is a contiguous [T_BLK, F] tile
+    coef_r = jnp.transpose(coef_r, (0, 3, 1, 2))
+    coef_i = jnp.transpose(coef_i, (0, 3, 1, 2))
+
+    spec_spec_cur = pl.BlockSpec((1, T_BLK, f), lambda bi, ti: (bi, ti, 0))
+    spec_spec_prev = pl.BlockSpec(
+        (1, T_BLK, f), lambda bi, ti: (bi, jnp.maximum(ti - 1, 0), 0)
+    )
+    coef_spec = pl.BlockSpec((1, k, T_BLK, f), lambda bi, ti: (bi, 0, ti, 0))
+    out_spec = pl.BlockSpec((1, T_BLK, f), lambda bi, ti: (bi, ti, 0))
+
+    out_r, out_i = pl.pallas_call(
+        functools.partial(_df_kernel, offsets=offsets, t_blk=T_BLK),
+        grid=(b, tp // T_BLK),
+        in_specs=[spec_spec_prev, spec_spec_prev, spec_spec_cur, spec_spec_cur,
+                  coef_spec, coef_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tp, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, f), jnp.float32),
+        ),
+    )(spec_r, spec_i, spec_r, spec_i, coef_r, coef_i)
+    return out_r[:, :t], out_i[:, :t]
