@@ -20,10 +20,11 @@ losses apply unchanged. For the cheap sub-band recipe, apply
 `nn.subband.reduce_complexity_separately` (or `dsp.features.drop_band`) to
 the unfolded units and targets in a custom step.
 
-Streaming: GRU states thread through `state`. The cumulative norms are
-causal per-frame, but their running sums are NOT yet carried across calls,
-so chunked streaming is approximate near chunk starts (unlike the
-bit-exact CRUSE/DFSMN streaming paths).
+Streaming: GRU states thread through `state`; with
+`norm="cumulative_laplace_norm"` the norm's running (sum, count) carries
+too, so chunked streaming is BIT-EXACT with the full-sequence call
+(tested). Offline norms (the default) are utterance-level and can't
+stream exactly by construction.
 """
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cruse_tpu.nn.gru import GRU
-from cruse_tpu.nn.norms import norm_wrapper
+from cruse_tpu.nn.norms import cumulative_laplace_norm_carry, norm_wrapper
 from cruse_tpu.nn.subband import freq_unfold
 
 
@@ -65,12 +66,25 @@ class FullSubNet(nn.Module):
         cfg = self.config
         b, t, f = mag.shape
         assert f == cfg.num_freqs, (f, cfg.num_freqs)
-        norm = norm_wrapper(cfg.norm)
         st = state or {}
         new_state: dict[str, Any] = {}
+        streaming_norm = cfg.norm == "cumulative_laplace_norm"
+        if streaming_norm:
+            # stateful: running (sum, count) carries across chunked calls so
+            # streaming is exact (unlike the offline norms)
+            def norm_with(key):
+                def f(x):
+                    y, new_state[key] = cumulative_laplace_norm_carry(x, st.get(key))
+                    return y
+
+                return f
+
+            norm_mag, norm_units = norm_with("norm_mag"), norm_with("norm_units")
+        else:
+            norm_mag = norm_units = norm_wrapper(cfg.norm)
 
         # ---- full-band stage ----
-        fb = norm(mag)
+        fb = norm_mag(mag)
         for li in range(cfg.fb_layers):
             fb, new_state[f"fb_{li}"] = GRU(cfg.fb_hidden, name=f"fb_gru_{li}")(
                 fb, st.get(f"fb_{li}")
@@ -81,7 +95,7 @@ class FullSubNet(nn.Module):
         sub = freq_unfold(mag, cfg.num_neighbors)  # [B, T, F, S]
         units = jnp.concatenate([sub, fb[..., None]], axis=-1)  # [B, T, F, S+1]
         units = units.transpose(0, 2, 1, 3)  # [B, F, T, S+1]
-        units = norm(units.reshape(b * f, t, -1))  # per-unit normalization
+        units = norm_units(units.reshape(b * f, t, -1))  # per-unit normalization
         sb = units
         for li in range(cfg.sb_layers):
             h0 = st.get(f"sb_{li}")
@@ -102,4 +116,10 @@ class FullSubNet(nn.Module):
             st[f"fb_{li}"] = jnp.zeros((batch_size, cfg.fb_hidden), dtype)
         for li in range(cfg.sb_layers):
             st[f"sb_{li}"] = jnp.zeros((batch_size * cfg.num_freqs, cfg.sb_hidden), dtype)
+        if cfg.norm == "cumulative_laplace_norm":
+            st["norm_mag"] = (jnp.zeros((batch_size,), dtype), jnp.zeros((batch_size,), dtype))
+            st["norm_units"] = (
+                jnp.zeros((batch_size * cfg.num_freqs,), dtype),
+                jnp.zeros((batch_size * cfg.num_freqs,), dtype),
+            )
         return st

@@ -40,6 +40,27 @@ def cumulative_laplace_norm(x: jax.Array) -> jax.Array:
     return x / (cum_mean[..., None] + EPSILON)
 
 
+def cumulative_laplace_norm_carry(x: jax.Array, carry=None):
+    """Stateful cumulative_laplace_norm: returns (y, carry) where carry =
+    (running bin sum [...], running bin count [...]) so chunked streaming is
+    bit-exact with one full-sequence call. x: [..., T, F]."""
+    n_freqs = x.shape[-1]
+    t = x.shape[-2]
+    if carry is None:
+        prev_sum = jnp.zeros(x.shape[:-2], x.dtype)
+        prev_count = jnp.zeros(x.shape[:-2], x.dtype)
+    else:
+        prev_sum, prev_count = carry
+    step_sum = jnp.sum(x, axis=-1)  # [..., T]
+    cum_sum = prev_sum[..., None] + jnp.cumsum(step_sum, axis=-1)
+    counts = prev_count[..., None] + jnp.arange(
+        n_freqs, n_freqs * t + 1, n_freqs, dtype=x.dtype
+    )
+    cum_mean = cum_sum / counts
+    y = x / (cum_mean[..., None] + EPSILON)
+    return y, (cum_sum[..., -1], counts[..., -1])
+
+
 def offline_gaussian_norm(x: jax.Array) -> jax.Array:
     """(x - mu) / (std + 1e-5), utterance-level, unbiased std like torch.std
     (base_model.py:247-261)."""

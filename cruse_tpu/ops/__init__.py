@@ -5,3 +5,4 @@ mesh) exercises identical code paths.
 """
 
 from cruse_tpu.ops.gru_kernel import gru_sequence_pallas  # noqa: F401
+from cruse_tpu.ops.deep_filter_kernel import deep_filter_pallas  # noqa: F401

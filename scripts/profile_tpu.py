@@ -70,6 +70,13 @@ def main():
     w_hh = jnp.asarray(rng.standard_normal((g, 3 * h, h)).astype(np.float32) * 0.05)
     b_hh = jnp.zeros((g, 3 * h))
     bench("gru scan (isolated)", lambda x: gru_scan(x, h0, w_hh, b_hh)[0], x_proj)
+    from cruse_tpu.ops.gru_kernel import gru_sequence_pallas
+
+    bench("gru pallas ts=8", lambda x: gru_sequence_pallas(x, h0, w_hh, b_hh)[0], x_proj)
+    bench("gru pallas ts=16", lambda x: gru_sequence_pallas(
+        x, h0, w_hh, b_hh, time_block=16)[0], x_proj)
+    bench("gru pallas ts=16 bf16 w", lambda x: gru_sequence_pallas(
+        x, h0, w_hh, b_hh, time_block=16, weight_dtype=jnp.bfloat16)[0], x_proj)
 
     def full(w):
         s = stft(w, cfg)

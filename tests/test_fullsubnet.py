@@ -94,10 +94,9 @@ def test_fullsubnet_trains(rng):
     assert float(metrics["loss_si_snr"]) < first
 
 
-def test_fullsubnet_state_threading(rng):
-    """GRU state threads: two half-utterance calls == one full call (offline
-    norm recomputed per call, so use identical inputs and check the GRU carry
-    via an offline-norm-free config: norm applied but inputs constant)."""
+def test_fullsubnet_streaming_exact(rng):
+    """With the cumulative norm, chunked calls (GRU + norm carries threaded)
+    are bit-exact with one full-sequence call."""
     from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig
 
     model = FullSubNet(
@@ -108,10 +107,9 @@ def test_fullsubnet_state_threading(rng):
     )
     mag = jnp.asarray(np.abs(rng.standard_normal((1, 6, 9))).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), mag)
-    full, _ = model.apply(variables, mag)
-    # chunked: cumulative norm state is not carried -> only check shapes/finiteness
+    full, _ = model.apply(variables, mag, model.init_state(1))
     st = model.init_state(1)
     out1, st = model.apply(variables, mag[:, :3], st)
     out2, st = model.apply(variables, mag[:, 3:], st)
-    assert out1.shape == (1, 3, 9, 2) and out2.shape == (1, 3, 9, 2)
-    assert np.isfinite(np.asarray(full)).all()
+    chunked = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+    np.testing.assert_allclose(chunked, np.asarray(full), atol=1e-6)
