@@ -15,10 +15,16 @@ shifts are lane rolls — so HBM traffic is the theoretical minimum
 
 Grid: (B, ceil(T / T_BLK)). Each program reads spec block j and block j-1
 (clamped at the sequence start; rows reaching t<0 are masked to zero, the
-same zero-fill semantics as the shift-MAC path). Forward-only: training
-takes the autodiff-able shift-MAC path; this kernel serves the offline
-inference/serving path (wired in models/cruse_df.apply_cruse_df via
-use_pallas).
+same zero-fill semantics as the shift-MAC path).
+
+MEASURED VERDICT (scripts/profile_deep_filter.py, v5e, B=64 T=1000 F=96
+K=15): XLA shift-MAC 2.66 ms/call vs this kernel 5.5 ms/call (same with
+tap-major "bktf" coefs, so the entry transpose is not the gap) — XLA's
+fusion of the 15 static shifts beats the hand-written single-pass kernel
+here, mostly on misaligned-F lane rolls and per-tap concatenates. The
+production paths therefore use the XLA formulation
+(models/deep_filter.deep_filter_apply, which is also autodiff-able); this
+kernel stays as a parity-tested, measured experiment.
 """
 from __future__ import annotations
 
@@ -81,31 +87,39 @@ def _df_kernel(spec_r_prev, spec_i_prev, spec_r_cur, spec_i_cur,
     out_i_ref[0] = acc_i
 
 
-@functools.partial(jax.jit, static_argnames=("t_dim", "f_dim"))
-def deep_filter_pallas(spec_r, spec_i, coef_r, coef_i, t_dim: int, f_dim: int):
+@functools.partial(jax.jit, static_argnames=("t_dim", "f_dim", "coef_layout"))
+def deep_filter_pallas(spec_r, spec_i, coef_r, coef_i, t_dim: int, f_dim: int,
+                       coef_layout: str = "btfk"):
     """Causal deep filter on TPU via Pallas.
 
-    spec_*: [B, T, F]; coef_*: [B, T, F, K] (tap_offsets(t_dim, f_dim,
-    causal=True) ordering, same API as models.deep_filter.deep_filter_apply
-    with causal=True). Returns (out_r, out_i) [B, T, F].
+    spec_*: [B, T, F]; coef_*: [B, T, F, K] ("btfk", the
+    models.deep_filter.deep_filter_apply API — transposed on entry, which
+    costs a full pass over the coef tensor) or [B, K, T, F] ("bktf", the
+    kernel-native tap-major layout a producer should emit directly).
+    Tap ordering = tap_offsets(t_dim, f_dim, causal=True).
+    Returns (out_r, out_i) [B, T, F].
     """
     offsets = tap_offsets(t_dim, f_dim, causal=True)
     k = len(offsets)
-    assert coef_r.shape[-1] == k, (coef_r.shape, k)
     assert 2 * t_dim <= T_BLK
+    if coef_layout == "btfk":
+        assert coef_r.shape[-1] == k, (coef_r.shape, k)
+        # [B, T, F, K] -> [B, K, T, F]: lanes = F, and each tap slice
+        # coef[0, k] inside the kernel is a contiguous [T_BLK, F] tile
+        coef_r = jnp.transpose(coef_r, (0, 3, 1, 2))
+        coef_i = jnp.transpose(coef_i, (0, 3, 1, 2))
+    else:
+        assert coef_layout == "bktf" and coef_r.shape[1] == k, (coef_r.shape, k)
     b, t, f = spec_r.shape
     t_pad = (T_BLK - t % T_BLK) % T_BLK
     if t_pad:
         pad3 = ((0, 0), (0, t_pad), (0, 0))
         spec_r = jnp.pad(spec_r, pad3)
         spec_i = jnp.pad(spec_i, pad3)
-        coef_r = jnp.pad(coef_r, pad3 + ((0, 0),))
-        coef_i = jnp.pad(coef_i, pad3 + ((0, 0),))
+        pad4 = ((0, 0), (0, 0), (0, t_pad), (0, 0))
+        coef_r = jnp.pad(coef_r, pad4)
+        coef_i = jnp.pad(coef_i, pad4)
     tp = t + t_pad
-    # [B, T, F, K] -> [B, K, T, F]: lanes = F, and each tap slice
-    # coef[0, k] inside the kernel is a contiguous [T_BLK, F] tile
-    coef_r = jnp.transpose(coef_r, (0, 3, 1, 2))
-    coef_i = jnp.transpose(coef_i, (0, 3, 1, 2))
 
     spec_spec_cur = pl.BlockSpec((1, T_BLK, f), lambda bi, ti: (bi, ti, 0))
     spec_spec_prev = pl.BlockSpec(

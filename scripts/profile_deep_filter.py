@@ -32,11 +32,15 @@ def time_fn(fn, *args):
         acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), a[0]))
         return acc
 
-    jax.block_until_ready(loop(*args))
+    # float() forces a real round trip (block_until_ready can return early
+    # on the tunneled runtime) and fresh inputs defeat execution caching
+    float(loop(*args))
     times = []
-    for _ in range(3):
+    for rep in range(3):
+        fresh = (args[0] * (1.0 + 1e-4 * (rep + 1)),) + args[1:]
+        float(fresh[0].ravel()[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(*args))
+        float(loop(*fresh))
         times.append(time.perf_counter() - t0)
     return min(times) / ITERS
 
@@ -57,9 +61,18 @@ def main():
         lambda sr, si, cr, ci: deep_filter_pallas(sr, si, cr, ci, T_DIM, F_DIM),
         spec_r, spec_i, coef_r, coef_i,
     )
+    # kernel ceiling: coefs produced tap-major, no entry transpose
+    coef_r_k = jnp.transpose(coef_r, (0, 3, 1, 2)).copy()
+    coef_i_k = jnp.transpose(coef_i, (0, 3, 1, 2)).copy()
+    t_pl_native = time_fn(
+        lambda sr, si, cr, ci: deep_filter_pallas(
+            sr, si, cr, ci, T_DIM, F_DIM, coef_layout="bktf"),
+        spec_r, spec_i, coef_r_k, coef_i_k,
+    )
     print(f"shapes B={B} T={T} F={F} K={k}")
-    print(f"XLA shift-MAC : {t_xla * 1e3:8.3f} ms/call")
-    print(f"Pallas kernel : {t_pl * 1e3:8.3f} ms/call   speedup {t_xla / t_pl:.2f}x")
+    print(f"XLA shift-MAC       : {t_xla * 1e3:8.3f} ms/call")
+    print(f"Pallas (btfk entry) : {t_pl * 1e3:8.3f} ms/call   speedup {t_xla / t_pl:.2f}x")
+    print(f"Pallas (bktf native): {t_pl_native * 1e3:8.3f} ms/call   speedup {t_xla / t_pl_native:.2f}x")
 
 
 if __name__ == "__main__":

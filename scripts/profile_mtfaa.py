@@ -34,13 +34,15 @@ def _data():
 
 
 def _time3(loop, *args):
-    jax.block_until_ready(loop(*args))
+    # float() forces a real device round trip -- on the tunneled runtime
+    # block_until_ready alone can return early (see bench.py)
+    float(loop(*args))
     times = []
     for rep in range(3):
         fresh = (args[0] * (1.0 + 1e-4 * (rep + 1)),) + args[1:]
-        jax.block_until_ready(fresh[0])
+        float(fresh[0].ravel()[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(*fresh))
+        float(loop(*fresh))
         times.append(time.perf_counter() - t0)
     return min(times)
 

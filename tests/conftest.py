@@ -24,6 +24,18 @@ import jax
 # jax_platforms="axon,cpu"; tests must run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# This host has ONE cpu core, so XLA compilation dominates the suite's wall
+# time. Persist compiled executables across runs: the second `pytest tests/`
+# only recompiles programs whose graphs actually changed.
+_cache_dir = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass  # cache is an optimization, never a requirement
+
 import numpy as np
 import pytest
 
