@@ -228,21 +228,37 @@ class AxialSelfAttention(nn.Module):
 
         if state is None:
             if self.causal and self.window is not None:
-                # banded local attention: O(T*W) memory instead of a dense
-                # T x T mask -- each query gathers its window of keys via W
-                # static slices (long utterances stay cheap)
+                # block-local causal attention (two-block trick): queries in
+                # time block j attend keys in blocks j-1 and j with the
+                # (q-w, q] window mask. O(T*2W) memory -- the round-1
+                # gather-band formulation materialized [B,T,W,F,C] and OOMed
+                # in training at real batch sizes.
                 w = min(self.window, t)
-                k_pad = jnp.pad(kt, ((0, 0), (w - 1, 0), (0, 0), (0, 0)))
-                v_pad = jnp.pad(vt, ((0, 0), (w - 1, 0), (0, 0), (0, 0)))
-                k_band = jnp.stack([k_pad[:, i : i + t] for i in range(w)], axis=2)
-                v_band = jnp.stack([v_pad[:, i : i + t] for i in range(w)], axis=2)
-                logits = jnp.einsum("btfc,btwfc->btfw", qt, k_band) / jnp.sqrt(c_att)
-                # band slot i holds key position t - (w-1) + i: valid if >= 0
-                ti = jnp.arange(t)[:, None]
-                valid = (ti - (w - 1) + jnp.arange(w)[None, :]) >= 0  # [T, W]
-                logits = jnp.where(valid[None, :, None, :], logits, -1e9)
+                nb = -(-t // w)
+                pad_t = nb * w - t
+                q_p = jnp.pad(qt, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+                k_p = jnp.pad(kt, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+                v_p = jnp.pad(vt, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+                qb = q_p.reshape(b, nb, w, f, c_att)
+                kb = k_p.reshape(b, nb, w, f, c_att)
+                vb = v_p.reshape(b, nb, w, f, self.channels)
+                k2 = jnp.concatenate([jnp.pad(kb, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :nb], kb], axis=2)
+                v2 = jnp.concatenate([jnp.pad(vb, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :nb], vb], axis=2)
+                logits = jnp.einsum("bnwfc,bnsfc->bnfws", qb, k2) / jnp.sqrt(c_att)
+                # query slot wi (global n*w+wi) sees key slot si (global
+                # n*w - w + si) iff 0 <= q-k < w  <=>  wi < si <= wi + w;
+                # block 0's "previous block" is padding: also require si >= w
+                wi = jnp.arange(w)[:, None]
+                si = jnp.arange(2 * w)[None, :]
+                band = (si > wi) & (si <= wi + w)  # [w, 2w]
+                first = si >= w
+                mask = jnp.where(
+                    jnp.arange(nb)[:, None, None] == 0, band & first, band
+                )  # [nb, w, 2w]
+                logits = jnp.where(mask[None, :, None], logits, -1e9)
                 attn = jax.nn.softmax(logits, axis=-1)
-                xt = jnp.einsum("btfw,btwfc->btfc", attn, v_band)
+                xt = jnp.einsum("bnfws,bnsfc->bnwfc", attn, v2)
+                xt = xt.reshape(b, nb * w, f, self.channels)[:, :t]
                 # emit a valid rolling cache so a follow-up chunk can carry
                 # attention context (not just conv/TFCM histories)
                 wfull = self.window

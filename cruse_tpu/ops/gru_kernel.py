@@ -15,7 +15,16 @@ time. This kernel runs the whole sequence in ONE pallas_call:
   as bf16 (halves their VMEM read bandwidth) with fp32 accumulation
 - gate math matches torch (r, z, n) exactly like cruse_tpu.nn.gru.gru_scan.
 
-Measured vs the XLA scan on the real chip by scripts/profile_tpu.py.
+MEASURED VERDICT (scripts/profile_tpu.py, v5e, flagship dims B=32 T=1000
+G=4): XLA scan 6.03 ms vs this kernel 6.24-6.32 ms across ts=8/16 and
+bf16-weight variants -- a TIE. Both paths sit on the same ~6 us/step
+latency floor: the recurrence is strictly sequential and the per-step
+matmul ([4,32,160]x[4,160,480]) is far too small to amortize MXU pipeline
+latency, so neither DMA amortization nor weight bandwidth is the
+bottleneck at these shapes. The production path therefore stays on the
+XLA scan (autodiff-able, simpler); this kernel is a parity-tested,
+measured experiment. It would win only at much larger per-step matmuls
+(bigger batch x hidden), where the VMEM-resident state starts to matter.
 Off-TPU the kernel runs in interpreter mode so CPU tests cover it.
 """
 from __future__ import annotations
@@ -37,7 +46,8 @@ def _gru_kernel(x_ref, h0_ref, whh_ref, bhh_ref, y_ref, hlast_ref, h_scratch, *,
         h_scratch[:] = h0_ref[:]
 
     w = whh_ref[:]  # [G, H, 3H] (pre-transposed), possibly bf16
-    b = bhh_ref[:]  # [G, 3H]
+    b = bhh_ref[:]  # [G, B, 3H] (pre-broadcast host-side: Mosaic lowers
+    # leading/no broadcasts more reliably than middle-dim expand_dims)
     h3 = b.shape[-1] // 3
 
     h = h_scratch[:]  # [G, B, H] fp32
@@ -48,7 +58,7 @@ def _gru_kernel(x_ref, h0_ref, whh_ref, bhh_ref, y_ref, hlast_ref, h_scratch, *,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [G, B, 3H]
-        gates = hp + b[:, None, :]
+        gates = hp + b
         xr, xz, xn = xp[..., :h3], xp[..., h3 : 2 * h3], xp[..., 2 * h3 :]
         hr, hz, hn = gates[..., :h3], gates[..., h3 : 2 * h3], gates[..., 2 * h3 :]
         r = jax.nn.sigmoid(xr + hr)
@@ -95,6 +105,7 @@ def gru_sequence_pallas(
     w_t = jnp.swapaxes(w_hh, -1, -2)  # [G, H, 3H]: transpose ONCE, not per step
     if weight_dtype is not None:
         w_t = w_t.astype(weight_dtype)
+    b_g = jnp.broadcast_to(b_hh[:, None, :], (g, b, h3))  # pre-broadcast
 
     y, h_last = pl.pallas_call(
         functools.partial(_gru_kernel, ts=ts, t_actual=t),
@@ -103,7 +114,7 @@ def gru_sequence_pallas(
             pl.BlockSpec((ts, g, b, h3), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, b, h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, h, h3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, b, h3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((ts, g, b, h), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -115,6 +126,6 @@ def gru_sequence_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((g, b, h), jnp.float32)],
         interpret=interpret,
-    )(xt, h0_g, w_t, b_hh)
+    )(xt, h0_g, w_t, b_g)
     y = y[:t].transpose(2, 0, 1, 3)  # [B, T, G, H]
     return y, h_last.transpose(1, 0, 2)

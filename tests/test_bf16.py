@@ -19,11 +19,11 @@ def test_bf16_mask_quality(rng):
     wav = jnp.asarray((rng.standard_normal((2, 16000)) * 0.1).astype(np.float32))
     spec = stft(wav, cfg)
     feat = model.compress(jnp.abs(spec))
-    v32 = model.init(jax.random.PRNGKey(0), feat)
+    v32 = jax.jit(model.init)(jax.random.PRNGKey(0), feat)
     v16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), v32)
 
-    mask32, _ = model.apply(v32, feat)
-    mask16, _ = model.apply(v16, feat.astype(jnp.bfloat16))
+    mask32, _ = jax.jit(model.apply)(v32, feat)
+    mask16, _ = jax.jit(model.apply)(v16, feat.astype(jnp.bfloat16))
     mask16 = mask16.astype(jnp.float32)
     assert float(jnp.abs(mask32 - mask16).mean()) < 0.01
 

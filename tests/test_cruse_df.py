@@ -37,12 +37,13 @@ def test_model_streaming_matches_batch(rng):
     cfg = _cfg()
     net = CruseDfNet(cfg)
     feat = jnp.asarray(np.abs(rng.standard_normal((1, 12, 161))).astype(np.float32))
-    v = net.init(jax.random.PRNGKey(0), feat)
-    (mask_full, coef_full), _ = net.apply(v, feat)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), feat)
+    (mask_full, coef_full), _ = jax.jit(net.apply)(v, feat)
+    step = jax.jit(net.apply)
     state = None
     masks, coefs = [], []
     for t in range(12):
-        (m, c), state = net.apply(v, feat[:, t : t + 1], state)
+        (m, c), state = step(v, feat[:, t : t + 1], state)
         masks.append(np.asarray(m))
         coefs.append(np.asarray(c))
     np.testing.assert_allclose(np.concatenate(masks, 1), np.asarray(mask_full), atol=1e-5)

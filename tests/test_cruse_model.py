@@ -37,13 +37,14 @@ def test_causality(rng):
 def test_streaming_matches_batch_chunked(rng):
     net = _small_model()
     feat = jnp.asarray(np.abs(rng.standard_normal((1, 24, 161))).astype(np.float32))
-    v = net.init(jax.random.PRNGKey(0), feat)
-    full, _ = net.apply(v, feat)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), feat)
+    full, _ = jax.jit(net.apply)(v, feat)
+    step = jax.jit(net.apply)
     state = None
     outs = []
     # uneven chunk sizes on purpose
     for chunk in (feat[:, :5], feat[:, 5:6], feat[:, 6:16], feat[:, 16:]):
-        m, state = net.apply(v, chunk, state)
+        m, state = step(v, chunk, state)
         outs.append(np.asarray(m))
     stream = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(stream, np.asarray(full), atol=1e-5)
@@ -62,7 +63,8 @@ def test_full_size_param_count():
     """Flagship size sanity: ~1.5M params (CRUSE-scale, not a toy)."""
     net = CruseNet(CruseConfig())
     feat = jnp.zeros((1, 4, 161))
-    v = net.init(jax.random.PRNGKey(0), feat)
+    # shapes only -- eval_shape skips initialization compute entirely
+    v = jax.eval_shape(net.init, jax.random.PRNGKey(0), feat)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
     assert 1e6 < n < 3e6
 

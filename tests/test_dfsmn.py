@@ -94,12 +94,13 @@ def test_net_forward_and_causality(rng):
 def test_net_streaming_matches_batch(rng):
     net = DfsmnNet(in_freq=33, hidden_dim=16, num_blocks=3, left_frames=2, left_dilation=2, right_frames=0)
     feat = jnp.asarray(rng.standard_normal((2, 12, 33)).astype(np.float32))
-    v = net.init(jax.random.PRNGKey(0), feat)
-    full, _ = net.apply(v, feat)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), feat)
+    full, _ = jax.jit(net.apply)(v, feat)
+    step = jax.jit(net.apply)
     state = net.init_state(2)
     outs = []
     for t in range(12):
-        m, state = net.apply(v, feat[:, t : t + 1], state)
+        m, state = step(v, feat[:, t : t + 1], state)
         outs.append(np.asarray(m))
     stream = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(stream, np.asarray(full), atol=1e-5)

@@ -127,11 +127,11 @@ def test_model_parity(rng):
     model = CruseNet(cfg)
     mag = np.abs(rng.standard_normal((2, 30, 161))).astype(np.float32)
     feat = model.compress(jnp.asarray(mag))
-    variables = model.init(jax.random.PRNGKey(3), feat)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(3), feat)
     tm = TorchCruse(cfg).eval()
     sync_weights(variables, tm, cfg)
 
-    ours, _ = model.apply(variables, feat)
+    ours, _ = jax.jit(model.apply)(variables, feat)
     with torch.no_grad():
         ref = tm(torch.from_numpy(mag)).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
@@ -146,8 +146,8 @@ def test_full_pipeline_waveform_parity(rng):
 
     spec = stft(jnp.asarray(noisy), scfg)
     feat = model.compress(jnp.abs(spec))
-    variables = model.init(jax.random.PRNGKey(0), feat)
-    mask, _ = model.apply(variables, feat)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), feat)
+    mask, _ = jax.jit(model.apply)(variables, feat)
     ours = np.asarray(istft(spec * mask, scfg, length=16000))
 
     tm = TorchCruse(cfg).eval()

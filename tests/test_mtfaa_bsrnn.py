@@ -146,8 +146,8 @@ def test_mtfaa_full_forward(rng):
     cfg = MtfaaConfig(n_fft=512, n_bands=64, channels=(8, 12, 16), tfcm_layers=2)
     net = MtfaaNet(cfg)
     cspec = jnp.asarray(rng.standard_normal((1, 12, 257, 2)).astype(np.float32))
-    v = net.init(jax.random.PRNGKey(0), cspec)
-    (out, mask), _ = net.apply(v, cspec)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), cspec)
+    (out, mask), _ = jax.jit(net.apply)(v, cspec)
     assert out.shape == (1, 12, 257) and out.dtype == jnp.complex64
     assert np.isfinite(np.asarray(out)).all()
 
@@ -159,10 +159,11 @@ def test_mtfaa_chunk_carry_matches_full(rng):
                       attention_window=4, use_deep_filter=True)
     net = MtfaaNet(cfg)
     cspec = jnp.asarray(rng.standard_normal((1, 8, 257, 2)).astype(np.float32) * 0.3)
-    v = net.init(jax.random.PRNGKey(0), cspec)
-    (full, _), _ = net.apply(v, cspec)
-    (o1, _), st = net.apply(v, cspec[:, :5])  # batch call WITH window -> state
-    (o2, _), _ = net.apply(v, cspec[:, 5:], st)  # carried into the next chunk
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), cspec)
+    apply = jax.jit(net.apply)
+    (full, _), _ = apply(v, cspec)
+    (o1, _), st = apply(v, cspec[:, :5])  # batch call WITH window -> state
+    (o2, _), _ = apply(v, cspec[:, 5:], st)  # carried into the next chunk
     stitched = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
     np.testing.assert_allclose(stitched, np.asarray(full), atol=2e-4)
 
@@ -172,12 +173,13 @@ def test_mtfaa_streaming_matches_batch(rng):
                       attention_window=4)
     net = MtfaaNet(cfg)
     cspec = jnp.asarray(rng.standard_normal((1, 10, 257, 2)).astype(np.float32) * 0.3)
-    v = net.init(jax.random.PRNGKey(0), cspec)
-    (full, mask_full), _ = net.apply(v, cspec)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), cspec)
+    (full, mask_full), _ = jax.jit(net.apply)(v, cspec)
     state = net.init_state(1)
+    step = jax.jit(net.apply)  # one trace, 10 fast calls
     outs = []
     for t in range(10):
-        (o, m), state = net.apply(v, cspec[:, t : t + 1], state)
+        (o, m), state = step(v, cspec[:, t : t + 1], state)
         outs.append(np.asarray(o))
     stream = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(stream, np.asarray(full), atol=2e-4)
@@ -234,8 +236,8 @@ def test_bsrnn_forward(rng):
     spec = jnp.asarray(
         (rng.standard_normal((1, 6, 257)) + 1j * rng.standard_normal((1, 6, 257))).astype(np.complex64)
     )
-    v = net.init(jax.random.PRNGKey(0), spec)
-    out, _ = net.apply(v, spec)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), spec)
+    out, _ = jax.jit(net.apply)(v, spec)
     assert out.shape == (1, 6, 257)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -244,8 +246,8 @@ def test_discriminator(rng):
     d = Discriminator(ndf=4)
     x = jnp.asarray(np.abs(rng.standard_normal((2, 32, 64))).astype(np.float32))
     y = jnp.asarray(np.abs(rng.standard_normal((2, 32, 64))).astype(np.float32))
-    v = d.init(jax.random.PRNGKey(0), x, y)
-    out = d.apply(v, x, y)
+    v = jax.jit(d.init)(jax.random.PRNGKey(0), x, y)
+    out = jax.jit(d.apply)(v, x, y)
     assert out.shape == (2, 1)
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1.2).all()
