@@ -32,6 +32,17 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# persistent compile cache, OPT-IN (CRUSE_TPU_COMPILE_CACHE=1) for config
+# sweeps; the driver's canonical run stays hermetic
+if os.environ.get("CRUSE_TPU_COMPILE_CACHE") == "1":
+    try:
+        _cache = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 SR = 16000
 BASELINE_X_REALTIME = 5000.0
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
@@ -250,7 +261,12 @@ def main():
     names = list(BENCHES) if sel == "all" else [s.strip() for s in sel.split(",")]
     results = {}
     for i, name in enumerate(names, 1):
-        label, x_rt = BENCHES[name]()
+        try:
+            label, x_rt = BENCHES[name]()
+        except Exception as e:  # one config must not sink the others
+            print(json.dumps({"config": name, "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
         results[name] = {"value": round(x_rt, 1), "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3)}
         print(
             json.dumps(

@@ -27,8 +27,13 @@ jax.config.update("jax_platforms", "cpu")
 # This host has ONE cpu core, so XLA compilation dominates the suite's wall
 # time. Persist compiled executables across runs: the second `pytest tests/`
 # only recompiles programs whose graphs actually changed.
+# (CRUSE_TPU_TEST_CACHE=0 disables; the loader may warn about machine-
+# feature strings on AOT entries -- benign across hundreds of green runs
+# on this host, but the kill switch exists.)
 _cache_dir = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
 try:
+    if _cache_dir == "0":
+        raise RuntimeError("cache disabled")
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
