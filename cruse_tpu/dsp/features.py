@@ -228,6 +228,26 @@ def channelwise_layer_norm(x, scale=None, bias=None, eps=1e-5, axis=-1):
     return y
 
 
+def directional_features_from_ri(ri, mic_pairs, lps_channel=0, use_sin_ipd=False,
+                                 eps=1e-8):
+    """Directional features straight from a multi-channel RI spectrum.
+
+    ri: [B, M, T, F, 2] -> [B, T, F + P*F(, +P*F)] (normalized LPS of the
+    reference channel + cos(/sin) IPD per mic pair). Same math as
+    DirectionalFeatureComputer but starting from the spectrum, so the
+    training adapter (which already holds noisy_ri) can reuse it without a
+    second STFT."""
+    real, imag = ri[..., 0], ri[..., 1]
+    mag = jnp.sqrt(real**2 + imag**2 + eps)
+    phase = jnp.arctan2(imag, real)
+    lps = channelwise_layer_norm(log_power_spectrum(mag[:, lps_channel], eps), axis=-1)
+    ipds = ipd_features(phase, mic_pairs, use_sin=use_sin_ipd)  # [B, P(,2P), T, F]
+    b, p, t, f = ipds.shape
+    return jnp.concatenate(
+        [lps, ipds.transpose(0, 2, 1, 3).reshape(b, t, p * f)], axis=-1
+    )
+
+
 class DirectionalFeatureComputer:
     """Multi-channel spatial feature front-end: LPS of a reference channel +
     cos/sin IPD over mic pairs (feature.py:423-611 behavior, time-major).

@@ -78,6 +78,22 @@ class BatchInferencer:
         r, i = complex_mul(jnp.real(spec), jnp.imag(spec), crm[..., 0], crm[..., 1])
         return istft((r, i), self.cfg.stft, length=noisy.shape[-1])
 
+    def multi_channel_directional(self, noisy: jax.Array) -> jax.Array:
+        """[B, M, L]: LPS+IPD directional features -> McCruseNet mask on the
+        reference channel (the MC model the reference implies but never
+        shipped; feature math = feature.py:423-611)."""
+        from cruse_tpu.dsp.features import directional_features_from_ri
+
+        cfg = self.model.config
+        specs = mc_stft(noisy, self.cfg.stft)  # [B, M, T, F]
+        ri = jnp.stack([jnp.real(specs), jnp.imag(specs)], axis=-1)
+        feats = directional_features_from_ri(
+            ri, cfg.mic_pairs, cfg.reference_channel, cfg.use_sin_ipd
+        )
+        mask, _ = self.model.apply(self.variables, feats)
+        ref = specs[:, cfg.reference_channel]
+        return istft(ref * mask, self.cfg.stft, length=noisy.shape[-1])
+
     def multi_channel_mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """[B, C, L]: model sees all channel mags, output uses the reference
         channel's phase (base_inferencer.py:139-161)."""

@@ -13,6 +13,7 @@ from cruse_tpu.models.deep_filter import DeepFilterHead, deep_filter_apply  # no
 from cruse_tpu.models.mtfaa import MtfaaNet, MtfaaConfig  # noqa: F401
 from cruse_tpu.models.bsrnn import BSRNN, Discriminator  # noqa: F401
 from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig  # noqa: F401
+from cruse_tpu.models.mc_cruse import McCruseNet, McCruseConfig  # noqa: F401
 
 MODEL_REGISTRY = {
     "cruse": CruseNet,
@@ -20,6 +21,7 @@ MODEL_REGISTRY = {
     "mtfaa": MtfaaNet,
     "bsrnn": BSRNN,
     "fullsubnet": FullSubNet,
+    "mc_cruse": McCruseNet,
 }
 
 
@@ -36,6 +38,7 @@ def build_from_config(model_cfg):
         "MtfaaConfig": MtfaaNet,
         "CruseDfConfig": CruseDfNet,
         "FullSubNetConfig": FullSubNet,
+        "McCruseConfig": McCruseNet,
     }
     cls = mapping.get(type(model_cfg).__name__)
     return cls(model_cfg) if cls is not None else model_cfg

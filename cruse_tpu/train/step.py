@@ -186,12 +186,39 @@ def fullsubnet_model_forward(model):
     return forward
 
 
+def mc_model_forward(model):
+    """Adapter for multi-channel models (McCruseNet): noisy_ri is the
+    multi-channel RI spectrum [B, M, T, F, 2]; directional features (LPS +
+    IPD) feed the model and the mask applies to the reference channel."""
+    from cruse_tpu.dsp.features import directional_features_from_ri
+
+    cfg = model.config
+
+    def forward(params, batch_stats, noisy_ri, train=True):
+        assert noisy_ri.ndim == 5, f"MC adapter expects [B,M,T,F,2], got {noisy_ri.shape}"
+        feats = directional_features_from_ri(
+            noisy_ri, cfg.mic_pairs, cfg.reference_channel, cfg.use_sin_ipd
+        )
+        ref_ri = noisy_ri[:, cfg.reference_channel]
+        if train:
+            (mask, _), new_vars = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feats, None, True, mutable=["batch_stats"],
+            )
+            return ref_ri * mask[..., None], new_vars["batch_stats"]
+        mask, _ = model.apply({"params": params, "batch_stats": batch_stats}, feats)
+        return ref_ri * mask[..., None], batch_stats
+
+    return forward
+
+
 def forward_for_model(model) -> Callable:
     """Pick the right forward adapter for any zoo model."""
     from cruse_tpu.models.mtfaa import MtfaaNet
     from cruse_tpu.models.bsrnn import BSRNN
     from cruse_tpu.models.cruse_df import CruseDfNet
     from cruse_tpu.models.fullsubnet import FullSubNet
+    from cruse_tpu.models.mc_cruse import McCruseNet
 
     if isinstance(model, (MtfaaNet, BSRNN)):
         return complex_model_forward(model)
@@ -199,6 +226,8 @@ def forward_for_model(model) -> Callable:
         return cruse_df_model_forward(model)
     if isinstance(model, FullSubNet):
         return fullsubnet_model_forward(model)
+    if isinstance(model, McCruseNet):
+        return mc_model_forward(model)
     return mask_model_forward(model)
 
 
@@ -219,13 +248,25 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         noisy, clean = batch["noisy"], batch["clean"]
         length = noisy.shape[-1]
-        noisy_spec = stft(noisy, scfg)
+        if noisy.ndim == 3:  # multi-channel [B, M, L]: clean is the
+            # reference-channel target [B, L]
+            from cruse_tpu.dsp.stft import mc_stft
+
+            spec_mc = mc_stft(noisy, scfg)  # [B, M, T, F]
+            model_input_ri = jnp.stack([jnp.real(spec_mc), jnp.imag(spec_mc)], axis=-1)
+            ref = getattr(getattr(model, "config", None), "reference_channel", 0)
+            noisy_spec = spec_mc[:, ref]
+        else:
+            noisy_spec = stft(noisy, scfg)
+            model_input_ri = None
         clean_spec = stft(clean, scfg)
         clean_ri = jnp.stack([jnp.real(clean_spec), jnp.imag(clean_spec)], axis=-1)
         noisy_ri = jnp.stack([jnp.real(noisy_spec), jnp.imag(noisy_spec)], axis=-1)
+        if model_input_ri is None:
+            model_input_ri = noisy_ri
 
         def model_out(params):
-            return forward(params, state.batch_stats, noisy_ri)
+            return forward(params, state.batch_stats, model_input_ri)
 
         enhanced_ri, vjp_fn, new_batch_stats = jax.vjp(model_out, state.params, has_aux=True)
 

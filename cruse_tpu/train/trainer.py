@@ -185,8 +185,14 @@ class Trainer:
     # ---- enhancement used by validation ----
 
     def _enhance_fn(self, params, batch_stats, noisy):
-        """Validation enhancement through the SAME adapter as training."""
-        spec = stft(noisy, self.scfg)
+        """Validation enhancement through the SAME adapter as training.
+        noisy: [B, L] or multi-channel [B, M, L]."""
+        if noisy.ndim == 3:
+            from cruse_tpu.dsp.stft import mc_stft
+
+            spec = mc_stft(noisy, self.scfg)
+        else:
+            spec = stft(noisy, self.scfg)
         ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         enhanced_ri, _ = forward_for_model(self.model)(params, batch_stats, ri, train=False)
         return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), self.scfg,

@@ -100,6 +100,10 @@ def main():
         beta2=float(opt.get("beta2", 0.999)),
         clip_grad_norm=float(tr.get("clip_grad_norm_value", 10.0)),
         loss_weights=loss_weights,
+        # the reference's AMP switch (meta.use_amp -> CUDA GradScaler,
+        # base_trainer.py:41-42) maps to bf16 mixed precision here: bf16
+        # fwd/bwd, fp32 masters, no loss scaling needed on TPU
+        compute_dtype="bfloat16" if bool(config["meta"].get("use_amp", False)) else None,
     )
 
     train_ds = SynMixDataset(SynMixConfig(**config["train_dataset"]["args"]))
