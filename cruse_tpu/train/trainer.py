@@ -208,6 +208,8 @@ class Trainer:
         running = {}
         count = 0
         for i, batch in enumerate(batches):
+            if getattr(self, "_preempted", None) and self._preempted["flag"]:
+                break  # finish the epoch early; caller checkpoints
             batch = self._put_batch({"noisy": batch["noisy"], "clean": batch["clean"]})
             self.state, metrics = self._train_step(self.state, batch)
             count += 1
@@ -300,6 +302,34 @@ class Trainer:
         return False
 
     def train(self) -> None:
+        """Epoch loop with preemption-safe checkpointing: SIGTERM/SIGINT
+        during training saves `latest` before exiting, so a preempted run
+        resumes with `-R` losing at most the current epoch (the reference's
+        recovery story is crash -> resume from the last periodic save,
+        train_stand.py:101-103; this closes the preemption window)."""
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+            log(f"signal {signum}: checkpointing before exit...")
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # not the main thread
+                pass
+
+        self._preempted = preempted
+        try:
+            self._train_loop(preempted)
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+
+    def _train_loop(self, preempted) -> None:
         for epoch in range(self.start_epoch, self.cfg.epochs + 1):
             log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
 
@@ -322,3 +352,7 @@ class Trainer:
                     save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, True)
 
             log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
+            if preempted["flag"]:
+                save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
+                log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
+                return

@@ -68,6 +68,51 @@ def test_trainer_full_loop_and_resume(tmp_path, rng):
     assert int(trainer2.state.step) == 6
 
 
+def test_preemption_checkpoint(tmp_path, rng):
+    """SIGTERM mid-training checkpoints `latest` and exits cleanly; -R
+    resumes from it (preemption-safe recovery beyond the reference's
+    periodic-save-only story)."""
+    import os
+    import signal
+
+    model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path, epochs=50)
+    tcfg.validation_interval = 10**9  # no validation; pure train loop
+    tcfg.save_checkpoint_interval = 10**9  # no periodic saves either
+
+    sent = {"done": False}
+
+    def batches():
+        yield batch
+        if not sent["done"]:
+            sent["done"] = True
+            os.kill(os.getpid(), signal.SIGTERM)  # preempt mid-epoch
+        yield batch
+        yield batch
+
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=batches,
+        validation_batches=[batch],
+        example_feat=feat,
+        writer=False,
+    )
+    trainer.train()  # returns instead of dying
+    ckpt = tmp_path / "t" / "checkpoints"
+    assert (ckpt / "latest").exists(), "preemption checkpoint missing"
+    saved_epoch = int(trainer.state.step)
+    assert 0 < saved_epoch < 50 * tcfg.steps_per_epoch, "did not stop early"
+
+    trainer2 = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        resume=True,
+        writer=False,
+    )
+    assert int(trainer2.state.step) == saved_epoch
+
+
 def test_only_validation_mode(tmp_path, rng):
     model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path, epochs=1)
     tcfg.only_validation = True
