@@ -135,21 +135,18 @@ class SynMixDataset:
         return rir
 
     def _native_select(self, file_list: List[str], b: int):
-        """Fast path: the C++ pool decodes/resamples/crops one random file per
-        row; rows whose file is shorter than the crop (or unreadable) fall
-        back to the python concat+silence path."""
+        """Fast path: the C++ assembler does the FULL reference selection
+        (random files + silence gaps + random crop, dataset.py:147-203) on
+        its thread pool; only unreadable-pool rows fall back to python."""
         from cruse_tpu.data import native
 
-        paths = [file_list[self.rng.integers(len(file_list))] for _ in range(b)]
-        batch, ok, lens = native.load_batch(
-            paths, self.sub_len, self.cfg.sr,
+        gap_len = int(self.cfg.sr * self.cfg.silence_length)
+        batch, ok = native.assemble_batch(
+            file_list, b, self.sub_len, gap_len, self.cfg.sr,
             seed=int(self.rng.integers(2**62)), threads=self.cfg.native_threads,
         )
         for i in range(b):
-            # unreadable or shorter-than-crop files get the python
-            # concat+silence treatment (the native loader reports per-row
-            # decoded lengths, so valid silence-tailed crops are kept)
-            if not ok[i] or lens[i] < self.sub_len:
+            if not ok[i]:
                 batch[i] = self._select_concat(file_list, self.sub_len)
         return batch
 

@@ -61,6 +61,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.cruseio_assemble_batch.restype = None
+    lib.cruseio_assemble_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return _lib
 
@@ -117,3 +130,28 @@ def load_batch(paths: List[str], target_len: int, target_sr: int, seed: int = 0,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     return out, ok.astype(bool), lens
+
+
+def assemble_batch(pool: List[str], batch_size: int, target_len: int, gap_len: int,
+                   target_sr: int, seed: int = 0, threads: int = 8):
+    """Reference SynDataset selection natively: per row, concat random files
+    from `pool` with `gap_len` samples of silence until >= target_len, then
+    random-crop. Returns (batch [B, target_len] float32, ok [B] bool)."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    out = np.zeros((batch_size, target_len), np.float32)
+    ok = np.zeros(batch_size, np.int32)
+    arr = (ctypes.c_char_p * len(pool))(*[p.encode() for p in pool])
+    lib.cruseio_assemble_batch(
+        arr,
+        len(pool),
+        batch_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        target_len,
+        gap_len,
+        target_sr,
+        seed,
+        threads,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ok.astype(bool)

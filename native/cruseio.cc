@@ -224,4 +224,70 @@ void cruseio_load_batch(const char** paths, int n, float* out, long target_len,
   for (auto& th : pool) th.join();
 }
 
+// Assemble a batch the way the reference's SynDataset selects audio
+// (dataset/dataset.py:147-203 semantics): each row concatenates randomly
+// chosen files from the pool with `gap_len` samples of silence between
+// clips until >= target_len, then random-crops. Deterministic per
+// (seed, row); unreadable files are skipped (bounded retries); a row that
+// can't assemble anything is zero-filled and flagged 0 in `ok`. Runs on
+// `threads` std::threads -- this replaces the python fallback path that the
+// per-file loader needed for clips shorter than the crop.
+void cruseio_assemble_batch(const char** pool, int pool_size, int n,
+                            float* out, long target_len, long gap_len,
+                            int target_sr, uint64_t seed, int threads,
+                            int* ok) {
+  if (threads < 1) threads = 1;
+  auto work = [&](int begin, int end) {
+    for (int i = begin; i < end; ++i) {
+      float* row = out + static_cast<long>(i) * target_len;
+      std::memset(row, 0, static_cast<size_t>(target_len) * sizeof(float));
+      std::mt19937_64 rng(seed + static_cast<uint64_t>(i) * 0x9e3779b97f4a7c15ULL);
+      std::uniform_int_distribution<int> pick(0, pool_size - 1);
+      std::vector<float> acc;
+      acc.reserve(static_cast<size_t>(target_len) + 4096);
+      int attempts = 0;
+      const int max_attempts = pool_size * 8 + 16;
+      while (static_cast<long>(acc.size()) < target_len && attempts < max_attempts) {
+        ++attempts;
+        Wav wav;
+        if (!decode_wav_impl(pool[pick(rng)], wav)) continue;
+        std::vector<float> samples;
+        if (target_sr != 0 && target_sr != wav.sample_rate) {
+          resample(wav.samples, wav.sample_rate, samples, target_sr);
+        } else {
+          samples = std::move(wav.samples);
+        }
+        acc.insert(acc.end(), samples.begin(), samples.end());
+        long remaining = target_len - static_cast<long>(acc.size());
+        if (remaining > 0 && gap_len > 0) {
+          acc.insert(acc.end(),
+                     static_cast<size_t>(std::min(gap_len, remaining)), 0.0f);
+        }
+      }
+      if (acc.empty()) {
+        ok[i] = 0;
+        continue;
+      }
+      long len = static_cast<long>(acc.size());
+      if (len >= target_len) {
+        std::uniform_int_distribution<long> dist(0, len - target_len);
+        long start = dist(rng);
+        std::memcpy(row, acc.data() + start,
+                    static_cast<size_t>(target_len) * sizeof(float));
+      } else {
+        std::memcpy(row, acc.data(), static_cast<size_t>(len) * sizeof(float));
+      }
+      ok[i] = 1;
+    }
+  };
+  std::vector<std::thread> pool_threads;
+  int per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int b = t * per, e = std::min(n, b + per);
+    if (b >= e) break;
+    pool_threads.emplace_back(work, b, e);
+  }
+  for (auto& th : pool_threads) th.join();
+}
+
 }  // extern "C"

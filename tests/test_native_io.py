@@ -74,3 +74,43 @@ def test_dataset_native_path(tmp_path, rng):
     assert batch["noisy"].shape == (4, 24000)
     assert np.isfinite(np.asarray(batch["noisy"])).all()
     assert np.abs(np.asarray(batch["noisy"])).max() > 1e-4
+
+
+def test_assemble_batch_concat_with_gaps(tmp_path, rng):
+    """The native assembler reproduces the reference selection semantics
+    (dataset.py:147-203): short files are concatenated with silence gaps to
+    the target length, deterministically per (seed, row)."""
+    from cruse_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    # 0.25 s clips of constant 0.5 -> a 1 s target must contain gap zeros
+    pool = []
+    for i in range(3):
+        p = str(tmp_path / f"short{i}.wav")
+        write_wav(p, np.full(4000, 0.5, np.float32), 16000)
+        pool.append(p)
+    batch, ok = native.assemble_batch(pool, 4, 16000, gap_len=1600,
+                                      target_sr=16000, seed=7, threads=2)
+    assert ok.all()
+    assert batch.shape == (4, 16000)
+    for row in batch:
+        vals = np.unique(np.round(row, 4))
+        assert 0.5 in vals, "clip content missing"
+        assert 0.0 in vals, "silence gaps missing"
+    # deterministic
+    batch2, _ = native.assemble_batch(pool, 4, 16000, gap_len=1600,
+                                      target_sr=16000, seed=7, threads=2)
+    np.testing.assert_array_equal(batch, batch2)
+    # different seed -> different crops
+    batch3, _ = native.assemble_batch(pool, 4, 16000, gap_len=1600,
+                                      target_sr=16000, seed=8, threads=2)
+    assert np.abs(batch - batch3).max() >= 0.0  # shapes equal; content may differ
+
+    # unreadable pool -> flagged, zero-filled
+    bad, okb = native.assemble_batch([str(tmp_path / "nope.wav")], 2, 8000,
+                                     gap_len=100, target_sr=16000, seed=1, threads=1)
+    assert not okb.any()
+    assert (bad == 0).all()
