@@ -56,9 +56,10 @@ def main():
     if args.streaming:
         from cruse_tpu.models import CruseNet as _CN
         from cruse_tpu.models.dfsmn import DfsmnNet as _DN
+        from cruse_tpu.models.cruse_df import CruseDfNet as _CDN
 
-        assert isinstance(model, (_CN, _DN)), (
-            "--streaming currently supports magnitude-mask models (CRUSE/DFSMN)"
+        assert isinstance(model, (_CN, _DN, _CDN)), (
+            "--streaming supports CRUSE/DFSMN (magnitude mask) and CRUSE+DF"
         )
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
         enhancer = StreamingEnhancer(model, variables, scfg)
