@@ -44,6 +44,9 @@ class SynMixConfig:
     batch_size: int = 32
     rir_max_seconds: float = 0.5  # static RIR pad length for device batching
     eq_proportion: float = 0.0
+    num_mics: int = 1  # >1: multi-channel batches (noisy [B, M, L]) via the
+    # free-field delay simulator (mixer.mix_batch_mc) for MC models
+    mc_max_delay: float = 8.0
     seed: int = 0
     valid_mode: bool = False
     use_native_io: bool = True  # threaded C++ decode/resample/crop when built
@@ -83,6 +86,13 @@ class SynMixDataset:
             reverb_noise_proportion=c.reverb_noise_proportion,
             eq_proportion=c.eq_proportion,
         )
+        if c.num_mics > 1:
+            from cruse_tpu.data.mixer import mix_batch_mc
+
+            self._mc_mix = jax.jit(
+                lambda k, cl, n: mix_batch_mc(k, cl, n, self.mixer_cfg,
+                                              c.num_mics, c.mc_max_delay)
+            )
         # one jitted mix closure per (rir, rir_noise) presence combination
         self._mix_fns = {
             (False, False): jax.jit(lambda k, c, n: mix_batch(k, c, n, self.mixer_cfg)),
@@ -189,6 +199,15 @@ class SynMixDataset:
         for i in range(steps):
             key, sub = jax.random.split(key)
             clean, noise, rir, rir_noise = self.host_batch()
+            if self.cfg.num_mics > 1:
+                noisy, target = self._mc_mix(sub, jnp.asarray(clean), jnp.asarray(noise))
+                batch = {"noisy": noisy, "clean": target}
+                if self.cfg.valid_mode:
+                    batch["name"] = [
+                        f"synth_{i:05d}_{j:03d}" for j in range(self.cfg.batch_size)
+                    ]
+                yield batch
+                continue
             args = [sub, jnp.asarray(clean), jnp.asarray(noise)]
             if rir is not None:
                 args.append(jnp.asarray(rir))

@@ -66,20 +66,12 @@ def _rms(x):
     return jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
 
 
-def mix_single(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,
-               rir: jax.Array | None = None, rir_noise: jax.Array | None = None):
-    """Mix one example: returns (noisy [L], clean_target [L]).
-
-    Steps (snr_mix intent, dataset.py:235-264 + FullSubNet tail):
-      1. optional reverb on clean (Bernoulli(reverb_proportion)); the training
-         target stays the early-reflection signal when configured
-      2. optional reverb on noise
-      3. peak-normalize both; RMS-derived snr scalar; mix at SNR ~ U{range}
-      4. random target dBFS in [target +- floating]
-      5. clipping guard: rescale everything if |noisy| > threshold
-      6. optional random EQ chain on the noisy signal
-    """
-    k_rev, k_revn, k_snr, k_dbfs, k_eq, k_equse = jax.random.split(key, 6)
+def mix_components(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,
+                   rir: jax.Array | None = None, rir_noise: jax.Array | None = None):
+    """The snr_mix pipeline up to (scaled clean, scaled noise, target) --
+    noisy = clean_s + noise_s. Exposed so the multi-channel simulator can
+    delay the components per mic before summing."""
+    k_rev, k_revn, k_snr, k_dbfs, _, _ = jax.random.split(key, 6)
     eps = cfg.eps
 
     target = clean
@@ -122,7 +114,25 @@ def mix_single(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerCon
     peak = jnp.max(jnp.abs(noisy))
     over = peak > cfg.clip_threshold
     fix = jnp.where(over, cfg.clip_threshold / (peak + eps), 1.0)
-    noisy, target = noisy * fix, target * fix
+    return clean * scalar * fix, noise * scalar * fix, target * fix
+
+
+def mix_single(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,
+               rir: jax.Array | None = None, rir_noise: jax.Array | None = None):
+    """Mix one example: returns (noisy [L], clean_target [L]).
+
+    Steps (snr_mix intent, dataset.py:235-264 + FullSubNet tail):
+      1. optional reverb on clean (Bernoulli(reverb_proportion)); the training
+         target stays the early-reflection signal when configured
+      2. optional reverb on noise
+      3. peak-normalize both; RMS-derived snr scalar; mix at SNR ~ U{range}
+      4. random target dBFS in [target +- floating]
+      5. clipping guard: rescale everything if |noisy| > threshold
+      6. optional random EQ chain on the noisy signal
+    """
+    _, _, _, _, k_eq, k_equse = jax.random.split(key, 6)
+    clean_s, noise_s, target = mix_components(key, clean, noise, cfg, rir, rir_noise)
+    noisy = clean_s + noise_s
 
     if cfg.eq_proportion > 0:
         eq_noisy = random_eq_chain(k_eq, noisy[None], cfg.eq_filters, cfg.sr)[0]
@@ -130,6 +140,51 @@ def mix_single(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerCon
         noisy = jnp.where(use_eq, eq_noisy, noisy)
 
     return noisy, target
+
+
+def fractional_delay(x: jax.Array, delay: jax.Array) -> jax.Array:
+    """Delay x [..., L] by `delay` samples (fractional OK) via the rFFT
+    phase ramp; zero-padded so nothing wraps around."""
+    l = x.shape[-1]
+    nfft = 1 << (l + 63).bit_length()  # headroom for the delay tail
+    freqs = jnp.fft.rfftfreq(nfft)
+    shift = jnp.exp(-2j * jnp.pi * freqs * delay)
+    return jnp.fft.irfft(jnp.fft.rfft(x, nfft) * shift, nfft)[..., :l]
+
+
+def mix_single_mc(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,
+                  num_mics: int, max_delay: float = 8.0, gain_jitter_db: float = 1.0):
+    """Multi-channel mixture: (noisy [M, L], target [L]).
+
+    Free-field far-field approximation: mic 0 is the reference (zero delay,
+    unit gain); each other mic hears the clean and noise components with
+    independent fractional delays ~ U[0, max_delay] samples and a small
+    gain jitter -- enough spatial structure for IPD features to be
+    informative. (A room-acoustics simulation with per-mic RIRs is the
+    round-3 upgrade; the reference has no MC data path at all.)
+    """
+    k_mix, k_dc, k_dn, k_g = jax.random.split(key, 4)
+    clean_s, noise_s, target = mix_components(k_mix, clean, noise, cfg)
+    d_c = jax.random.uniform(k_dc, (num_mics,), minval=0.0, maxval=max_delay).at[0].set(0.0)
+    d_n = jax.random.uniform(k_dn, (num_mics,), minval=0.0, maxval=max_delay).at[0].set(0.0)
+    g_db = jax.random.uniform(
+        k_g, (num_mics,), minval=-gain_jitter_db, maxval=gain_jitter_db
+    ).at[0].set(0.0)
+    g = 10.0 ** (g_db / 20.0)
+    mics = jax.vmap(
+        lambda dc, dn, gi: gi * (fractional_delay(clean_s, dc) + fractional_delay(noise_s, dn))
+    )(d_c, d_n, g)
+    return mics, target
+
+
+def mix_batch_mc(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,
+                 num_mics: int, max_delay: float = 8.0, gain_jitter_db: float = 1.0):
+    """vmap of mix_single_mc: clean/noise [B, L] -> (noisy [B, M, L], target
+    [B, L])."""
+    keys = jax.random.split(key, clean.shape[0])
+    return jax.vmap(
+        lambda k, c, n: mix_single_mc(k, c, n, cfg, num_mics, max_delay, gain_jitter_db)
+    )(keys, clean, noise)
 
 
 def mix_batch(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConfig,

@@ -45,11 +45,20 @@ def build_from_config(model_cfg):
 
 
 def features_for_model(model, spec):
-    """Model-appropriate network input from a complex spectrum [B, T, F]."""
+    """Model-appropriate network input from a complex spectrum [B, T, F]
+    (or [B, M, T, F] for multi-channel models)."""
     import jax.numpy as jnp
     from cruse_tpu.models.mtfaa import MtfaaNet as _M
     from cruse_tpu.models.bsrnn import BSRNN as _B
 
     if isinstance(model, (_M, _B)):
         return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    if isinstance(model, McCruseNet):
+        from cruse_tpu.dsp.features import directional_features_from_ri
+
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        c = model.config
+        return directional_features_from_ri(
+            ri, c.mic_pairs, c.reference_channel, c.use_sin_ipd
+        )
     return model.compress(jnp.abs(spec))

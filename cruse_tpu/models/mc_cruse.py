@@ -14,7 +14,7 @@ streaming state machinery carries over unchanged.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,19 @@ class McCruseConfig:
     use_sin_ipd: bool = False
     reference_channel: int = 0
     cruse: CruseConfig = CruseConfig(in_freq=161)
+    cruse_args: Optional[dict] = None  # TOML-friendly nested config:
+    # [model.args.cruse_args] in_freq=161 channels=[...] builds the trunk
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "mic_pairs", tuple(tuple(p) for p in self.mic_pairs)
+        )
+        if self.cruse_args is not None:
+            args = dict(self.cruse_args)
+            if "channels" in args:
+                args["channels"] = tuple(args["channels"])
+            object.__setattr__(self, "cruse", CruseConfig(**args))
+            object.__setattr__(self, "cruse_args", None)
 
     @property
     def num_mics(self) -> int:

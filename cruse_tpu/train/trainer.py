@@ -227,10 +227,13 @@ class Trainer:
         assert self.validation_batches is not None, "no validation data configured"
         vbatches = self.validation_batches() if callable(self.validation_batches) else self.validation_batches
         noisy_list, clean_list, enhanced_list, names = [], [], [], []
+        ref_ch = getattr(getattr(self.model, "config", None), "reference_channel", 0)
         for batch in vbatches:
             noisy_dev = self._put_batch({"noisy": batch["noisy"]})["noisy"]
             enhanced = self._enhance(self.state.params, self.state.batch_stats, noisy_dev)
             noisy_np = np.asarray(batch["noisy"])
+            if noisy_np.ndim == 3:  # MC: score/visualize the reference mic
+                noisy_np = noisy_np[:, ref_ch]
             clean_np = np.asarray(batch["clean"])
             enh_np = np.asarray(enhanced)
             default_names = [f"v{len(names) + k}" for k in range(noisy_np.shape[0])]
@@ -273,6 +276,9 @@ class Trainer:
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, mark="") -> None:
         if self.writer is None:
             return
+        if np.ndim(noisy) == 2:  # multi-channel item: show the reference mic
+            ref = getattr(getattr(self.model, "config", None), "reference_channel", 0)
+            noisy = noisy[ref]
         sr = self.cfg.sr
         self.writer.add_audio(f"{mark}Speech/{name}_Noisy", noisy[None], epoch, sample_rate=sr)
         self.writer.add_audio(f"{mark}Speech/{name}_Enhanced", enhanced[None], epoch, sample_rate=sr)

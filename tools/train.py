@@ -122,13 +122,16 @@ def main():
     )
 
     example = next(iter(train_ds.batches(num_batches=1)))
-    from cruse_tpu.train.trainer import _is_complex_model
+    from cruse_tpu.models import features_for_model
 
-    spec = stft(example["noisy"], scfg)
-    if _is_complex_model(model):
-        feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    noisy_ex = example["noisy"]
+    if noisy_ex.ndim == 3:  # multi-channel [B, M, L]
+        from cruse_tpu.dsp.stft import mc_stft
+
+        spec = mc_stft(noisy_ex, scfg)
     else:
-        feat = model.compress(jnp.abs(spec))
+        spec = stft(noisy_ex, scfg)
+    feat = features_for_model(model, spec)
     trainer = Trainer(
         model,
         step_cfg,
