@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""End-to-end walkthrough: corpus -> train -> enhance -> stream -> export.
+"""End-to-end walkthrough: corpus -> train -> enhance -> stream -> serve ->
+export.
 
 Runs in a few minutes on CPU (set JAX_PLATFORMS=cpu) or on a TPU chip.
 Everything a reference-stack user needs to switch, in one file:
@@ -9,7 +10,8 @@ Everything a reference-stack user needs to switch, in one file:
   3. train flagship CRUSE with the balancer trainer (few epochs)
   4. batch-enhance a wav with RTF logging
   5. stream the same wav frame-by-frame (sample-exact path)
-  6. export the enhancement graph as a self-contained artifact
+  6. serve two concurrent live sessions through the StreamingServer
+  7. export the enhancement graph as a self-contained artifact
 """
 import os
 import sys
@@ -57,7 +59,7 @@ def main():
     write_manifest(clean[4:], f"{root}/clean_valid.txt")
     write_manifest(noise[:4], f"{root}/noise_train.txt")
     write_manifest(noise[4:], f"{root}/noise_valid.txt")
-    log(f"[1/6] corpus at {root}")
+    log(f"[1/7] corpus at {root}")
 
     # 2. datasets (host selection + on-device mixing) -----------------------
     mk = lambda c, n, bs: SynMixDataset(SynMixConfig(
@@ -66,7 +68,7 @@ def main():
     ))
     train_ds = mk(f"{root}/clean_train.txt", f"{root}/noise_train.txt", 4)
     valid_ds = mk(f"{root}/clean_valid.txt", f"{root}/noise_valid.txt", 2)
-    log("[2/6] datasets ready")
+    log("[2/7] datasets ready")
 
     # 3. train --------------------------------------------------------------
     scfg = StftConfig(n_fft=320, hop_length=160)
@@ -84,7 +86,7 @@ def main():
         writer=False,
     )
     trainer.train()
-    log("[3/6] trained 3 epochs")
+    log("[3/7] trained 3 epochs")
     variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
 
     # 4. batch inference ----------------------------------------------------
@@ -93,15 +95,29 @@ def main():
     inf = BatchInferencer(model, variables, InferencerConfig(
         stft=scfg, output_dir=f"{root}/enhanced"))
     inf([{"noisy": noisy_wav[None], "name": ["demo"]}])
-    log("[4/6] batch enhancement written")
+    log("[4/7] batch enhancement written")
 
     # 5. streaming ----------------------------------------------------------
     s_cfg = StftConfig(n_fft=320, hop_length=160, center=False)
     enhancer = StreamingEnhancer(model, variables, s_cfg)
     rtf = enhancer.measure_rtf(noisy_wav[None], sr=sr, num_frames=20)
-    log(f"[5/6] streaming RTF: {rtf:.4f} (frame-by-frame, sample-exact path)")
+    log(f"[5/7] streaming RTF: {rtf:.4f} (frame-by-frame, sample-exact path)")
 
-    # 6. export -------------------------------------------------------------
+    # 6. concurrent serving ---------------------------------------------------
+    from cruse_tpu.infer.server import StreamingServer
+
+    server = StreamingServer(model, variables, s_cfg, max_streams=4)
+    s1, s2 = server.open(), server.open()
+    server.feed(s1, noisy_wav[:8000])
+    server.feed(s2, noisy_wav[::-1].copy())
+    hops = 0
+    while server.ready(s1) or server.ready(s2):
+        hops += len(server.step())
+    server.close(s1)
+    server.close(s2)
+    log(f"[6/7] served 2 concurrent sessions in one device step each hop ({hops} hops)")
+
+    # 7. export -------------------------------------------------------------
     from jax import export as jexport
     from cruse_tpu.dsp.stft import istft
 
@@ -114,7 +130,7 @@ def main():
     with open(f"{root}/cruse.jaxexport", "wb") as f:
         f.write(blob)
     out = jexport.deserialize(blob).call(jnp.asarray(noisy_wav[None]))
-    log(f"[6/6] exported {len(blob)/1e6:.1f} MB graph; reload check {np.isfinite(np.asarray(out)).all()}")
+    log(f"[7/7] exported {len(blob)/1e6:.1f} MB graph; reload check {np.isfinite(np.asarray(out)).all()}")
     log(f"demo complete -- artifacts in {root}")
 
 
