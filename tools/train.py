@@ -30,7 +30,9 @@ def main():
     parser.add_argument("-C", "--configuration", required=True, type=str, help="Configuration (*.toml).")
     parser.add_argument("-R", "--resume", action="store_true", help="Resume the experiment from latest checkpoint.")
     parser.add_argument("-V", "--only_validation", action="store_true", help="Only run validation (debug).")
-    parser.add_argument("-N", "--num_devices", type=int, default=0, help="Devices for the data axis (0 = all).")
+    parser.add_argument("-N", "--num_devices", type=int, default=0, help="Devices for the mesh (0 = all).")
+    parser.add_argument("-M", "--model_parallel", type=int, default=1,
+                        help="Devices on the 'model' axis (grouped-weight TP); data axis = N / M.")
     parser.add_argument("-P", "--preloaded_model_path", type=str, default=None, help="Warm-start params path.")
     args = parser.parse_args()
 
@@ -75,7 +77,12 @@ def main():
             f"for a virtual CPU mesh set JAX_PLATFORMS=cpu "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={n}"
         )
-    mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n]) if n > 1 else None
+    mp = max(args.model_parallel, 1)
+    if n % mp != 0:
+        raise SystemExit(f"-N {n} not divisible by -M {mp}")
+    mesh = (
+        make_mesh(n_data=n // mp, n_model=mp, devices=devices[:n]) if n > 1 else None
+    )
     if mesh is not None:
         log(f"mesh: {dict(mesh.shape)}")
 
