@@ -82,63 +82,65 @@ def test_banks_roundtrip_quality(rng):
 
 
 def test_phase_encoder_shapes(rng):
+    # T-minor component layout: [B, F, C(real||imag), T]
     pe = PhaseEncoder(cout=4, n_sig=1)
-    cspec = jnp.asarray(rng.standard_normal((2, 12, 65, 2)).astype(np.float32))
+    cspec = jnp.asarray(rng.standard_normal((2, 65, 2, 12)).astype(np.float32))
     v = pe.init(jax.random.PRNGKey(0), [cspec])
     out, _ = pe.apply(v, [cspec])
-    assert out.shape == (2, 12, 65, 4)
+    assert out.shape == (2, 65, 4, 12)
     assert (np.asarray(out) >= 0).all()  # it's a compressed magnitude
 
 
 def test_tfcm_residual_and_causal(rng):
+    # [B, K, C, T]: causality is along the minor (time) axis
     tfcm = TFCM(8, num_layers=3)
-    x = rng.standard_normal((1, 20, 16, 8)).astype(np.float32)
+    x = rng.standard_normal((1, 16, 8, 20)).astype(np.float32)
     v = tfcm.init(jax.random.PRNGKey(0), jnp.asarray(x))
     y1, _ = tfcm.apply(v, jnp.asarray(x))
     assert y1.shape == x.shape
     x2 = x.copy()
-    x2[:, 12:] *= 4.0
+    x2[..., 12:] *= 4.0
     y2, _ = tfcm.apply(v, jnp.asarray(x2))
-    np.testing.assert_allclose(np.asarray(y1)[:, :12], np.asarray(y2)[:, :12], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1)[..., :12], np.asarray(y2)[..., :12], atol=1e-5)
 
 
 def test_asa_causal_in_time(rng):
     asa = AxialSelfAttention(8, causal=True)
-    x = rng.standard_normal((1, 10, 6, 8)).astype(np.float32)
+    x = rng.standard_normal((1, 6, 8, 10)).astype(np.float32)  # [B, F, C, T]
     v = asa.init(jax.random.PRNGKey(0), jnp.asarray(x))
     y1, _ = asa.apply(v, jnp.asarray(x))
     x2 = x.copy()
-    x2[:, 6:] += 2.0
+    x2[..., 6:] += 2.0
     y2, _ = asa.apply(v, jnp.asarray(x2))
-    np.testing.assert_allclose(np.asarray(y1)[:, :6], np.asarray(y2)[:, :6], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1)[..., :6], np.asarray(y2)[..., :6], atol=1e-5)
 
 
 def test_asa_banded_equals_full_when_window_covers(rng):
     """O(T*W) banded attention == full causal attention when W >= T (same
     params); longer sequences are validated by the streaming parity test."""
     asa = AxialSelfAttention(8, causal=True, window=4)
-    x = jnp.asarray(rng.standard_normal((2, 15, 6, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 15)).astype(np.float32))
     v = asa.init(jax.random.PRNGKey(0), x)
     banded_long, _ = asa.apply(v, x)
     assert np.isfinite(np.asarray(banded_long)).all()
 
     asa_full = AxialSelfAttention(8, causal=True, window=None)
-    full, _ = asa_full.apply(v, x[:, :4])
-    banded_short, _ = asa.apply(v, x[:, :4])  # window=4 >= T=4 -> identical
+    full, _ = asa_full.apply(v, x[..., :4])
+    banded_short, _ = asa.apply(v, x[..., :4])  # window=4 >= T=4 -> identical
     np.testing.assert_allclose(np.asarray(banded_short), np.asarray(full), atol=1e-5)
 
 
 def test_asa_streaming_matches_windowed_batch(rng):
     asa = AxialSelfAttention(8, causal=True, window=4)
-    x = jnp.asarray(rng.standard_normal((2, 12, 6, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 12)).astype(np.float32))
     v = asa.init(jax.random.PRNGKey(0), x)
     full, _ = asa.apply(v, x)
     state = asa.init_stream_state(2, 6)
     outs = []
     for t in range(12):
-        y, state = asa.apply(v, x[:, t : t + 1], state)
+        y, state = asa.apply(v, x[..., t : t + 1], state)
         outs.append(np.asarray(y))
-    stream = np.concatenate(outs, axis=1)
+    stream = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(stream, np.asarray(full), atol=1e-5)
 
 
