@@ -211,17 +211,20 @@ class BatchNormC(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         if train:
-            mean = jnp.mean(x, axis=(0, 1, 3))
-            var = jnp.mean(jnp.square(x), axis=(0, 1, 3)) - jnp.square(mean)
+            # stats accumulate in fp32 even under bf16 model compute (a bf16
+            # sum over ~1e6 elements has ~8 mantissa bits -- unusable)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 3))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 3)) - jnp.square(mean)
             if not self.is_initializing():
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean.astype(jnp.float32)
-                ra_var.value = m * ra_var.value + (1 - m) * var.astype(jnp.float32)
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
         else:
-            mean = ra_mean.value.astype(x.dtype)
-            var = ra_var.value.astype(x.dtype)
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean[:, None]) * inv[:, None] + bias[:, None]
+            mean = ra_mean.value
+            var = ra_var.value
+        inv = (jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)).astype(x.dtype)
+        return (x - mean.astype(x.dtype)[:, None]) * inv[:, None] + bias[:, None]
 
 
 class PReLUc(nn.Module):
