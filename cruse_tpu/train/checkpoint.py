@@ -77,6 +77,18 @@ def restore_checkpoint(
     return state, int(tree["epoch"]) + 1, float(tree["best_score"])
 
 
+def _merge_tree(template, new):
+    if isinstance(template, dict):
+        return {
+            k: _merge_tree(v, new.get(k)) if isinstance(new, dict) else v
+            for k, v in template.items()
+        }
+    if new is None:
+        return template
+    new = np.asarray(new)
+    return new if new.shape == np.shape(template) else template
+
+
 def preload_params(ckpt_path: str | Path, template_params: Any) -> Any:
     """Warm-start: load a params-only snapshot, tolerating missing entries
     (reference strict=False semantics). Missing leaves keep template values."""
@@ -86,16 +98,30 @@ def preload_params(ckpt_path: str | Path, template_params: Any) -> Any:
     restored = cp.restore(ckpt_path)
     if "params" in restored:
         restored = restored["params"]
+    return _merge_tree(jax.device_get(template_params), restored)
 
-    def merge(template, new):
-        if isinstance(template, dict):
-            return {
-                k: merge(v, new.get(k)) if isinstance(new, dict) else v
-                for k, v in template.items()
-            }
-        if new is None:
-            return template
-        new = np.asarray(new)
-        return new if new.shape == np.shape(template) else template
 
-    return merge(jax.device_get(template_params), restored)
+def preload_variables(ckpt_path: str | Path, template_variables: Any) -> Any:
+    """Inference/export loading: params AND BatchNorm running stats.
+
+    The trainer's checkpoints carry `batch_stats` alongside `params`; an
+    enhancement CLI that loads params only would silently run trained
+    BN layers with fresh (0/1) running statistics and diverge from the
+    trainer's own validation output. Missing entries keep template values
+    (params-only snapshots still load; stats stay at init)."""
+    cp = _checkpointer()
+    ckpt_path = Path(ckpt_path).expanduser().absolute()
+    assert ckpt_path.exists(), f"The file {ckpt_path} does not exist."
+    restored = cp.restore(ckpt_path)
+    template = jax.device_get(
+        {
+            "params": template_variables["params"],
+            "batch_stats": template_variables.get("batch_stats", {}),
+        }
+    )
+    if "params" not in restored:  # bare params tree snapshot
+        restored = {"params": restored}
+    return {
+        "params": _merge_tree(template["params"], restored.get("params")),
+        "batch_stats": _merge_tree(template["batch_stats"], restored.get("batch_stats")),
+    }

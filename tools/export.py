@@ -32,7 +32,7 @@ def main():
     from cruse_tpu.dsp.stft import StftConfig, stft, istft
     from cruse_tpu.models import build_from_config, features_for_model
     from cruse_tpu.train.step import forward_for_model
-    from cruse_tpu.train.checkpoint import preload_params
+    from cruse_tpu.train.checkpoint import preload_variables
     from cruse_tpu.utils.config import load_config, initialize_module
     from cruse_tpu.utils.logger import log
 
@@ -46,8 +46,9 @@ def main():
     length = int(args.seconds * sr)
     ex_spec = stft(jnp.zeros((args.batch, length)), scfg)
     variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
-    params = preload_params(args.model_checkpoint_path, variables["params"])
-    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+    # params AND BatchNorm running stats (a params-only load would run
+    # trained BN layers with fresh stats and diverge from validation)
+    variables = preload_variables(args.model_checkpoint_path, variables)
     adapter = forward_for_model(model)
 
     def forward(noisy):

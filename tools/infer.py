@@ -31,7 +31,7 @@ def main():
     from cruse_tpu.infer.batch import BatchInferencer, InferencerConfig
     from cruse_tpu.infer.streaming import StreamingEnhancer
     from cruse_tpu.models import build_from_config, features_for_model
-    from cruse_tpu.train.checkpoint import preload_params
+    from cruse_tpu.train.checkpoint import preload_variables
     from cruse_tpu.utils.config import load_config, initialize_module
     from cruse_tpu.utils.logger import log
 
@@ -46,8 +46,9 @@ def main():
     ex_spec = stft(jnp.zeros((1, 8 * int(ac["hop_length"]))),
                    StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])))
     variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
-    params = preload_params(args.model_checkpoint_path, variables["params"])
-    variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+    # params AND BatchNorm running stats (a params-only load would run
+    # trained BN layers with fresh stats and diverge from validation)
+    variables = preload_variables(args.model_checkpoint_path, variables)
 
     inp = Path(args.input)
     files = load_manifest(str(inp)) if inp.is_file() else sorted(str(p) for p in inp.glob("*.wav"))
