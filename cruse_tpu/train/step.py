@@ -59,12 +59,38 @@ class StepConfig:
     # bf16 with fp32 master params + fp32 DSP/losses/updates (TPU-native
     # mixed precision -- replaces the reference's CUDA AMP GradScaler,
     # base_trainer.py:41-42; bf16's fp32-sized exponent needs no loss scale)
+    lr_schedule: Optional[str] = None  # None/"constant" (the reference's
+    # fixed-LR Adam, tools/train_stand.py:68-71) | "cosine" (linear warmup
+    # -> cosine decay to final_lr_scale*lr over decay_steps)
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None  # required for "cosine"
+    final_lr_scale: float = 0.0
+
+
+def make_lr(cfg: StepConfig):
+    """Learning-rate schedule (scalar or optax schedule fn)."""
+    if cfg.lr_schedule in (None, "constant"):
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        assert cfg.decay_steps is not None, "cosine schedule needs decay_steps"
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            # decay_steps is the TOTAL horizon incl. warmup; keep the cosine
+            # span positive for tiny runs
+            decay_steps=max(cfg.decay_steps, cfg.warmup_steps + 1),
+            end_value=cfg.final_lr_scale * cfg.learning_rate,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad_norm),
-        optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2),
+        optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2),
     )
 
 

@@ -189,3 +189,54 @@ def test_logger(tmp_path, capsys):
     logger.close()
     text = (tmp_path / "log" / "train.log").read_text()
     assert "hello world" in text
+
+
+def test_lr_schedules():
+    """Beyond-reference LR schedules: warmup ramps from 0, cosine decays to
+    final_lr_scale * lr; constant stays the reference's fixed-LR Adam."""
+    from cruse_tpu.train.step import StepConfig, make_lr
+
+    const = make_lr(StepConfig())
+    assert const == StepConfig().learning_rate
+
+    warm = make_lr(StepConfig(warmup_steps=10))
+    assert float(warm(0)) == 0.0
+    assert abs(float(warm(10)) - StepConfig().learning_rate) < 1e-9
+
+    cfg = StepConfig(learning_rate=1e-3, lr_schedule="cosine", warmup_steps=5,
+                     decay_steps=50, final_lr_scale=0.1)
+    sched = make_lr(cfg)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 1e-3) < 1e-9
+    assert abs(float(sched(50)) - 1e-4) < 1e-6
+    assert float(sched(20)) < 1e-3
+
+
+def test_train_step_with_cosine_schedule(rng):
+    """The scheduled optimizer trains and the opt state round-trips the step
+    counter (checkpoint compatibility)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, learning_rate=1e-3, lr_schedule="cosine",
+                     warmup_steps=2, decay_steps=10)
+    clean = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(noisy), "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, m0 = step(state, batch)
+    # warmup step 0: lr == 0 -> params unchanged
+    np.testing.assert_allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    # past warmup: params actually move
+    assert not np.allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
+    assert np.isfinite(float(metrics["loss_si_snr"]))

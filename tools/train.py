@@ -8,7 +8,8 @@ Config layout (TOML, see configs/cruse_base.toml):
   [acoustics] n_fft, hop_length, win_length, sr
   [model] path + args           (dotted path, reflection)
   [train_dataset] / [validation_dataset]  args for SynMixConfig
-  [optimizer] lr, beta1, beta2
+  [optimizer] lr, beta1, beta2, schedule (constant|cosine), warmup_steps,
+               decay_steps, final_lr_scale
   [trainer.train] epochs, steps_per_epoch, save_checkpoint_interval, clip_grad_norm_value
   [trainer.validation] validation_interval, save_max_metric_score
   [loss] weights table
@@ -107,6 +108,14 @@ def main():
         beta2=float(opt.get("beta2", 0.999)),
         clip_grad_norm=float(tr.get("clip_grad_norm_value", 10.0)),
         loss_weights=loss_weights,
+        # beyond the reference (which runs fixed-LR Adam): optional linear
+        # warmup + cosine decay, [optimizer] schedule/warmup_steps/decay_steps
+        lr_schedule=opt.get("schedule"),
+        warmup_steps=int(opt.get("warmup_steps", 0)),
+        decay_steps=(int(opt["decay_steps"]) if "decay_steps" in opt
+                     else int(tr.get("epochs", 100)) * int(tr.get("steps_per_epoch", 100))
+                     if opt.get("schedule") == "cosine" else None),
+        final_lr_scale=float(opt.get("final_lr_scale", 0.0)),
         # the reference's AMP switch (meta.use_amp -> CUDA GradScaler,
         # base_trainer.py:41-42) maps to bf16 mixed precision here: bf16
         # fwd/bwd, fp32 masters, no loss scaling needed on TPU
