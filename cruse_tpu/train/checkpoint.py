@@ -33,6 +33,7 @@ def _to_save_tree(state: TrainState, epoch: int, best_score: float) -> dict:
         "balancer_total": state.balancer_state.total,
         "balancer_fix": state.balancer_state.fix,
         "step": state.step,
+        "ema_params": state.ema_params,
         "epoch": np.asarray(epoch),
         "best_score": np.asarray(best_score, np.float64),
     }
@@ -73,6 +74,7 @@ def restore_checkpoint(
         opt_state=tree["opt_state"],
         balancer_state=BalancerState(total=tree["balancer_total"], fix=tree["balancer_fix"]),
         step=tree["step"],
+        ema_params=tree.get("ema_params"),
     )
     return state, int(tree["epoch"]) + 1, float(tree["best_score"])
 

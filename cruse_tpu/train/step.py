@@ -40,6 +40,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     balancer_state: BalancerState
     step: jax.Array
+    ema_params: Any = None  # EMA of params (StepConfig.ema_decay); eval path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +66,11 @@ class StepConfig:
     warmup_steps: int = 0
     decay_steps: Optional[int] = None  # required for "cosine"
     final_lr_scale: float = 0.0
+    ema_decay: Optional[float] = None  # e.g. 0.999: keep an EMA of the
+    # params; the trainer validates/selects-best with the averaged weights
+    grad_accum_steps: int = 1  # >1: accumulate grads over k steps and
+    # apply one averaged Adam update (optax.MultiSteps) -- large effective
+    # batches beyond single-chip memory
 
 
 def make_lr(cfg: StepConfig):
@@ -88,10 +94,13 @@ def make_lr(cfg: StepConfig):
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad_norm),
         optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2),
     )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def init_train_state(model, cfg: StepConfig, rng, example_feat) -> TrainState:
@@ -107,6 +116,8 @@ def init_train_state(model, cfg: StepConfig, rng, example_feat) -> TrainState:
         opt_state=tx.init(params),
         balancer_state=balancer.init_state(),
         step=jnp.zeros((), jnp.int32),
+        ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                    if cfg.ema_decay is not None else None),
     )
 
 
@@ -332,6 +343,13 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
         (grads,) = vjp_fn(out_grad)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if cfg.ema_decay is not None:
+            d = cfg.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, q: d * e + (1.0 - d) * q, state.ema_params, new_params
+            )
+        else:
+            new_ema = None
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         if cfg.skip_nonfinite_updates:
@@ -350,6 +368,8 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             new_opt_state = guard(new_opt_state, state.opt_state)
             new_bal_state = guard(new_bal_state, state.balancer_state)
             new_batch_stats = guard(new_batch_stats, state.batch_stats)
+            if new_ema is not None:
+                new_ema = guard(new_ema, state.ema_params)
             metrics["nonfinite_skipped"] = 1.0 - finite.astype(jnp.float32)
         new_state = TrainState(
             params=new_params,
@@ -357,6 +377,7 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             opt_state=new_opt_state,
             balancer_state=new_bal_state,
             step=state.step + 1,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

@@ -166,6 +166,8 @@ class Trainer:
             opt_state=opt_state,
             balancer_state=jax.device_put(state.balancer_state, rep),
             step=jax.device_put(state.step, rep),
+            ema_params=(jax.device_put(state.ema_params, p_sh)
+                        if state.ema_params is not None else None),
         )
 
     def _put_batch(self, batch):
@@ -230,7 +232,10 @@ class Trainer:
         ref_ch = getattr(getattr(self.model, "config", None), "reference_channel", 0)
         for batch in vbatches:
             noisy_dev = self._put_batch({"noisy": batch["noisy"]})["noisy"]
-            enhanced = self._enhance(self.state.params, self.state.batch_stats, noisy_dev)
+            # validate/select-best with the EMA weights when enabled
+            eval_params = (self.state.ema_params
+                           if self.state.ema_params is not None else self.state.params)
+            enhanced = self._enhance(eval_params, self.state.batch_stats, noisy_dev)
             noisy_np = np.asarray(batch["noisy"])
             if noisy_np.ndim == 3:  # MC: score/visualize the reference mic
                 noisy_np = noisy_np[:, ref_ch]

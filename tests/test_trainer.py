@@ -240,3 +240,64 @@ def test_train_step_with_cosine_schedule(rng):
     # past warmup: params actually move
     assert not np.allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
     assert np.isfinite(float(metrics["loss_si_snr"]))
+
+
+def test_ema_params_track_and_guard(rng):
+    """EMA weights follow the params at the configured decay and the
+    validation path prefers them."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, learning_rate=1e-3, ema_decay=0.5)
+    clean = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + rng.standard_normal((2, 512)).astype(np.float32) * 0.1),
+             "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(model, cfg))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, _ = step(state, batch)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    e1 = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, rtol=1e-6, atol=1e-7)
+
+    # checkpoint round-trip keeps the EMA tree
+    import tempfile
+    from cruse_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, state, epoch=1, best_score=0.0)
+        restored, _, _ = restore_checkpoint(d, state)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]), e1, atol=1e-7
+        )
+
+
+def test_grad_accumulation_applies_every_k(rng):
+    """grad_accum_steps=2: params stay frozen on the accumulation step and
+    move on the boundary (optax.MultiSteps semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, learning_rate=1e-3, grad_accum_steps=2)
+    clean = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + rng.standard_normal((2, 512)).astype(np.float32) * 0.1),
+             "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, _ = step(state, batch)
+    np.testing.assert_allclose(np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+    state, _ = step(state, batch)
+    assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
