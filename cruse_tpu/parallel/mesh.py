@@ -77,3 +77,35 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def place_opt_state(mesh: Mesh, opt_state: Any, p_sh: Any) -> Any:
+    """Device-put an optax state onto the mesh: param-shaped slots (Adam
+    moments, MultiSteps accumulated grads) take their params' shardings,
+    everything else replicates. Preserves optax's NamedTuple state types
+    (a naive tuple() rebuild breaks optax.MultiSteps, whose update reads
+    state.gradient_step)."""
+    import optax
+
+    rep = replicated(mesh)
+
+    def is_typed(n):
+        return isinstance(n, (optax.ScaleByAdamState, optax.MultiStepsState))
+
+    def place(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jax.device_put(node.count, rep),
+                mu=jax.device_put(node.mu, p_sh),
+                nu=jax.device_put(node.nu, p_sh),
+            )
+        if isinstance(node, optax.MultiStepsState):
+            return node._replace(
+                mini_step=jax.device_put(node.mini_step, rep),
+                gradient_step=jax.device_put(node.gradient_step, rep),
+                inner_opt_state=place_opt_state(mesh, node.inner_opt_state, p_sh),
+                acc_grads=jax.device_put(node.acc_grads, p_sh),
+            )
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), node)
+
+    return jax.tree_util.tree_map(place, opt_state, is_leaf=is_typed)

@@ -142,24 +142,15 @@ class Trainer:
         """Device-put a (host or single-device) train state onto the mesh:
         params by sharding rule, everything else replicated. Checkpoint
         restore round-trips through here (orbax restores host arrays)."""
-        import optax
+        from cruse_tpu.parallel.mesh import place_opt_state
 
         mesh = self.mesh
         p_sh = param_shardings(mesh, state.params)
         rep = replicated(mesh)
-
-        def place_opt(node):
-            # Adam moments mirror the param tree -> give them the param
-            # shardings so sharded weights keep sharded optimizer state
-            if isinstance(node, optax.ScaleByAdamState):
-                return node._replace(
-                    count=jax.device_put(node.count, rep),
-                    mu=jax.device_put(node.mu, p_sh),
-                    nu=jax.device_put(node.nu, p_sh),
-                )
-            return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), node)
-
-        opt_state = tuple(place_opt(n) for n in state.opt_state)
+        # Adam moments / MultiSteps grad accumulators mirror the param tree
+        # -> they take the param shardings (typed placer keeps optax's
+        # NamedTuple state classes intact)
+        opt_state = place_opt_state(mesh, state.opt_state, p_sh)
         return state._replace(
             params=jax.device_put(state.params, p_sh),
             batch_stats=jax.device_put(state.batch_stats, rep),

@@ -132,3 +132,37 @@ def test_grouped_weights_actually_sharded(rng):
     assert "model" in str(ggru_sh.spec), f"GGRU weights not model-sharded: {ggru_sh.spec}"
     conv_sh = p_sh["enc_0"]["conv"]["kernel"]
     assert conv_sh.spec == jax.sharding.PartitionSpec()  # replicated
+
+
+def test_trainer_on_mesh_with_ema_and_grad_accum(tmp_path, rng):
+    """EMA weights and optax.MultiSteps accumulation compose with the mesh:
+    the typed opt-state placer must keep MultiStepsState intact (a plain
+    tuple() rebuild loses the NamedTuple class and update() crashes)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.parallel.mesh import make_mesh
+    from cruse_tpu.train.step import StepConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, ema_decay=0.9, grad_accum_steps=2)
+    clean = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32) * 0.1)
+    noisy = clean + jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32) * 0.1)
+    feat = model.compress(jnp.abs(stft(noisy, scfg)))
+    tr = Trainer(
+        model, cfg,
+        TrainerConfig(epochs=1, steps_per_epoch=2, sr=16000,
+                      save_dir=str(tmp_path), experiment_name="ema_mesh"),
+        train_batches=lambda: iter([{"noisy": noisy, "clean": clean}] * 2),
+        validation_batches=[{"noisy": noisy, "clean": clean}],
+        example_feat=feat, rng=jax.random.PRNGKey(0), writer=False, mesh=mesh,
+    )
+    tr.train()
+    assert int(tr.state.step) == 2
+    assert tr.state.ema_params is not None
+    leaf = np.asarray(jax.tree_util.tree_leaves(tr.state.ema_params)[0])
+    assert np.isfinite(leaf).all()
