@@ -122,6 +122,37 @@ class StreamingEnhancer:
         """One real-time hop. hop_samples: [B, hop] -> ([B, hop], new state)."""
         return self._step_jit(state, hop_samples)
 
+    def _multi_impl(self, state: StreamState, samples: jax.Array, k: int):
+        b = samples.shape[0]
+        hop = self.cfg.hop_length
+        hops = samples.reshape(b, k, hop).transpose(1, 0, 2)
+
+        def scan_step(carry, x):
+            out, new_carry = self._step_impl(carry, x)
+            return new_carry, out
+
+        new_state, outs = lax.scan(scan_step, state, hops)
+        return outs.transpose(1, 0, 2).reshape(b, k * hop), new_state
+
+    def step_multi(self, state: StreamState, samples: jax.Array):
+        """Process k consecutive hops in ONE device dispatch.
+
+        samples: [B, k*hop] -> ([B, k*hop], new state). Bit-identical to k
+        `step` calls (tested); per-hop wall cost drops because the ~50 us
+        host->device dispatch amortizes over k hops, at +(k-1)*hop/sr
+        seconds of algorithmic latency -- the k=1 path stays the
+        lowest-latency default. One compiled program per distinct k."""
+        hop = self.cfg.hop_length
+        assert samples.shape[-1] % hop == 0, (samples.shape, hop)
+        k = samples.shape[-1] // hop
+        if not hasattr(self, "_multi_jit"):
+            self._multi_jit = {}
+        if k not in self._multi_jit:
+            import functools
+
+            self._multi_jit[k] = jax.jit(functools.partial(self._multi_impl, k=k))
+        return self._multi_jit[k](state, samples)
+
     def run(self, wav: jax.Array) -> jax.Array:
         """Enhance a whole utterance with the streaming path under lax.scan.
 

@@ -134,3 +134,31 @@ def test_batch_inferencer_mag_to_mag(tmp_path, rng):
     assert enhanced.dtype == np.int16 and len(enhanced) == 16000
     assert (tmp_path / "enh" / "utt1.wav").exists()
     assert len(inf.rtf_history) == 1
+
+
+def test_step_multi_matches_single_steps(rng):
+    """k hops in one dispatch == k single steps, bit-identical."""
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+    from cruse_tpu.models import CruseNet, CruseConfig
+
+    cfg = StftConfig(n_fft=64, hop_length=32, center=False)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    import jax
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 33)))
+    enh = StreamingEnhancer(model, variables, cfg)
+    wav = jnp.asarray(rng.standard_normal((2, 32 * 8)).astype(np.float32) * 0.1)
+
+    s1 = enh.init_state(2)
+    outs = []
+    for i in range(8):
+        o, s1 = enh.step(s1, wav[:, i * 32 : (i + 1) * 32])
+        outs.append(np.asarray(o))
+    single = np.concatenate(outs, axis=-1)
+
+    s2 = enh.init_state(2)
+    o_a, s2 = enh.step_multi(s2, wav[:, : 4 * 32])   # k=4
+    o_b, s2 = enh.step_multi(s2, wav[:, 4 * 32 :])   # k=4
+    multi = np.concatenate([np.asarray(o_a), np.asarray(o_b)], axis=-1)
+    np.testing.assert_allclose(multi, single, atol=1e-6)
