@@ -93,9 +93,7 @@ def main():
             candidates[stem] = np.asarray(inf.auto(jnp.asarray(wav[None])))[0]
         log(f"enhanced {len(candidates)} files with {args.model_checkpoint_path}")
     elif args.enhanced:
-        for stem, f in _collect(args.enhanced).items():
-            candidates[stem] = None  # lazy-read below
-            candidates[stem] = f
+        candidates = dict(_collect(args.enhanced))  # paths; lazy-read below
     else:
         raise SystemExit("provide -E (pre-enhanced wavs) or -C/-M/-I (enhance first)")
 
