@@ -501,6 +501,15 @@ class MtfaaConfig:
     df_taps_t: int = 1
     df_taps_f: int = 1
 
+    def __post_init__(self):
+        # BandUpConv's T-minor decoder stage is specialized to stride-2
+        # up-sampling (even/odd interleave, mtfaa.py:457-483); a non-2
+        # encoder stride would silently mis-shape the mirrored decoder.
+        assert all(s == 2 for s in self.band_strides), (
+            f"band_strides must all be 2 (got {self.band_strides}): the "
+            "T-minor BandUpConv decoder only implements stride-2 upsampling"
+        )
+
     @property
     def num_bins(self) -> int:
         return self.n_fft // 2 + 1

@@ -51,7 +51,13 @@ def save_checkpoint(
     cp = _checkpointer()
     tree = _to_save_tree(jax.device_get(state), epoch, best_score)
     cp.save(ckpt_dir / "latest", tree, force=True)
-    cp.save(ckpt_dir / f"model_{epoch:04d}", {"params": tree["params"]}, force=True)
+    # Per-epoch snapshot: when EMA is on, validation/best-model selection ran
+    # on the EMA weights, so the deployable snapshot must carry them too
+    # (preload_variables prefers them on load).
+    snap = {"params": tree["params"]}
+    if tree["ema_params"] is not None:
+        snap["ema_params"] = tree["ema_params"]
+    cp.save(ckpt_dir / f"model_{epoch:04d}", snap, force=True)
     if is_best_epoch:
         cp.save(ckpt_dir / "best", tree, force=True)
 
@@ -65,7 +71,21 @@ def restore_checkpoint(
     assert path.exists(), f"{path} does not exist, can not load checkpoint."
     cp = _checkpointer()
     template = _to_save_tree(jax.device_get(template_state), 0, 0.0)
-    tree = cp.restore(path, item=template)
+    try:
+        tree = cp.restore(path, item=template)
+    except Exception:
+        if template["ema_params"] is None:
+            raise
+        # Resuming with ema_decay newly enabled from a pre-EMA checkpoint:
+        # the on-disk tree has no ema_params subtree, so restoring against
+        # an EMA-bearing template raises. Warm-start EMA from the restored
+        # params instead of failing.
+        from cruse_tpu.utils.logger import log
+
+        template_no_ema = dict(template, ema_params=None)
+        tree = cp.restore(path, item=template_no_ema)
+        tree["ema_params"] = jax.tree.map(np.copy, tree["params"])
+        log(f"checkpoint {path} predates EMA; initialized ema_params from params")
     from cruse_tpu.losses.balancer import BalancerState
 
     state = TrainState(
@@ -79,16 +99,46 @@ def restore_checkpoint(
     return state, int(tree["epoch"]) + 1, float(tree["best_score"])
 
 
-def _merge_tree(template, new):
+def _merge_tree(template, new, stats=None):
+    """Merge `new` leaves onto `template` where key and shape match.
+
+    `stats` (optional) is a 2-element list accumulating [merged, kept]
+    leaf counts so callers can detect a stale-layout checkpoint (zero
+    matches) instead of silently keeping random-init weights."""
     if isinstance(template, dict):
         return {
-            k: _merge_tree(v, new.get(k)) if isinstance(new, dict) else v
+            k: _merge_tree(v, new.get(k), stats) if isinstance(new, dict) else _merge_tree(v, None, stats)
             for k, v in template.items()
         }
-    if new is None:
-        return template
-    new = np.asarray(new)
-    return new if new.shape == np.shape(template) else template
+    if new is not None:
+        new = np.asarray(new)
+        if new.shape == np.shape(template):
+            if stats is not None:
+                stats[0] += 1
+            return new
+    if stats is not None:
+        stats[1] += 1
+    return template
+
+
+def _merge_checked(template, restored, what: str):
+    """_merge_tree with diagnostics: log the match count; error when a
+    non-empty checkpoint matches zero leaves (e.g. a pre-rewrite parameter
+    layout), so stale checkpoints fail loudly instead of producing garbage."""
+    from cruse_tpu.utils.logger import log
+
+    stats = [0, 0]
+    merged = _merge_tree(template, restored, stats)
+    n_restored = len(jax.tree.leaves(restored)) if restored is not None else 0
+    if stats[0] == 0 and stats[1] > 0 and n_restored > 0:
+        raise ValueError(
+            f"checkpoint {what}: 0 of {stats[1]} template leaves matched the "
+            f"{n_restored} restored leaves — the checkpoint's parameter layout "
+            "does not correspond to this model (stale snapshot?)"
+        )
+    if stats[1] > 0 and n_restored > 0:
+        log(f"checkpoint {what}: merged {stats[0]} leaves, kept {stats[1]} template leaves")
+    return merged
 
 
 def preload_params(ckpt_path: str | Path, template_params: Any) -> Any:
@@ -100,7 +150,7 @@ def preload_params(ckpt_path: str | Path, template_params: Any) -> Any:
     restored = cp.restore(ckpt_path)
     if "params" in restored:
         restored = restored["params"]
-    return _merge_tree(jax.device_get(template_params), restored)
+    return _merge_checked(jax.device_get(template_params), restored, "params")
 
 
 def preload_variables(ckpt_path: str | Path, template_variables: Any) -> Any:
@@ -123,7 +173,16 @@ def preload_variables(ckpt_path: str | Path, template_variables: Any) -> Any:
     )
     if "params" not in restored:  # bare params tree snapshot
         restored = {"params": restored}
+    # When EMA weights are in the checkpoint they are the weights that
+    # produced the validated best score (validation scores state.ema_params),
+    # so deployment/export must prefer them over the raw training params.
+    weights = restored.get("params")
+    if restored.get("ema_params") is not None and jax.tree.leaves(restored["ema_params"]):
+        from cruse_tpu.utils.logger import log
+
+        log(f"loading EMA weights from {ckpt_path.name} (ema_params present)")
+        weights = restored["ema_params"]
     return {
-        "params": _merge_tree(template["params"], restored.get("params")),
+        "params": _merge_checked(template["params"], weights, "params"),
         "batch_stats": _merge_tree(template["batch_stats"], restored.get("batch_stats")),
     }

@@ -301,3 +301,72 @@ def test_grad_accumulation_applies_every_k(rng):
     np.testing.assert_allclose(np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
     state, _ = step(state, batch)
     assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+
+
+def test_snapshot_carries_ema_and_preload_prefers_it(tmp_path, rng):
+    """With EMA on, the per-epoch snapshot must contain ema_params and
+    preload_variables must load THOSE (the weights that produced the
+    validated best score), not the raw training params."""
+    from cruse_tpu.train.checkpoint import preload_variables
+    from cruse_tpu.train.step import init_train_state
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, ema_decay=0.9)
+    feat = model.compress(jnp.abs(stft(jnp.zeros((1, 512)), scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    # make EMA weights visibly different from the raw params
+    state = state._replace(ema_params=jax.tree.map(lambda p: p + 1.0, state.params))
+    d = tmp_path / "ck"
+    save_checkpoint(d, state, epoch=3, best_score=0.0)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    loaded = preload_variables(d / "model_0003", variables)
+    want = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    got = np.asarray(jax.tree_util.tree_leaves(loaded["params"])[0])
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_resume_pre_ema_checkpoint_with_ema_newly_enabled(tmp_path, rng):
+    """A 'latest' written before EMA was enabled must still resume when the
+    new run has ema_decay set: ema_params warm-starts from the restored
+    params instead of orbax raising on the missing subtree."""
+    from cruse_tpu.train.step import init_train_state
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    feat = model.compress(jnp.abs(stft(jnp.zeros((1, 512)), scfg)))
+    state_no_ema = init_train_state(
+        model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat
+    )
+    assert state_no_ema.ema_params is None
+    d = tmp_path / "ck"
+    save_checkpoint(d, state_no_ema, epoch=1, best_score=0.5)
+
+    template = init_train_state(
+        model, StepConfig(stft=scfg, ema_decay=0.99), jax.random.PRNGKey(1), feat
+    )
+    restored, start_epoch, best = restore_checkpoint(d, template)
+    assert start_epoch == 2 and best == 0.5
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+    )
+
+
+def test_preload_stale_layout_fails_loudly(tmp_path, rng):
+    """A checkpoint whose parameter tree matches ZERO template leaves (e.g.
+    a pre-rewrite layout) must raise, not silently return random init."""
+    import orbax.checkpoint as ocp
+    from cruse_tpu.train.step import init_train_state
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    feat = model.compress(jnp.abs(stft(jnp.zeros((1, 512)), scfg)))
+    state = init_train_state(model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat)
+    stale = tmp_path / "stale"
+    ocp.PyTreeCheckpointer().save(
+        stale, {"params": {"old_layer": {"w": np.zeros((3, 3), np.float32)}}}
+    )
+    with pytest.raises(ValueError, match="0 of"):
+        preload_params(stale, state.params)

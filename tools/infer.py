@@ -85,6 +85,13 @@ def main():
                     x = jnp.asarray(rest[None, i * k * hop : (i + 1) * k * hop])
                     o, state = enhancer.step_multi(state, x)
                     outs.append(np.asarray(o))
+                # tail: process remaining whole hops one-by-one so output
+                # length is independent of k (only < hop samples dropped,
+                # matching the k=1 run() path)
+                for j in range(n_chunks * k, len(rest) // hop):
+                    x = jnp.asarray(rest[None, j * hop : (j + 1) * hop])
+                    o, state = enhancer.step(state, x)
+                    outs.append(np.asarray(o))
                 out = np.concatenate(outs, axis=-1)[0] if outs else np.zeros(0, np.float32)
             else:
                 out = np.asarray(enhancer.run(jnp.asarray(wav[None])))[0]
