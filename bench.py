@@ -23,6 +23,7 @@ mtfaa_train (comma list ok); BENCH_BATCH/BENCH_DTYPE tweak config 1.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -208,8 +209,10 @@ def bench_dfsmn_stream():
 # ---------------------------------------------------------------- config 5
 
 
-def bench_mtfaa_train():
-    """MTFAA full-band model end-to-end training step."""
+def bench_mtfaa_train(window=None, label="MTFAA end-to-end training"):
+    """MTFAA full-band model end-to-end training step. `window` selects the
+    block-local windowed ASA (the deployable low-latency configuration);
+    None = full-causal attention."""
     from cruse_tpu.dsp.stft import StftConfig, stft
     from cruse_tpu.models import MtfaaNet
     from cruse_tpu.models.mtfaa import MtfaaConfig
@@ -222,7 +225,7 @@ def bench_mtfaa_train():
 
     scfg = StftConfig(n_fft=512, hop_length=256)
     b, seconds, iters = 16, 10, 4
-    model = MtfaaNet(MtfaaConfig())
+    model = MtfaaNet(MtfaaConfig(attention_window=window))
     step_cfg = StepConfig(stft=scfg, compute_dtype="bfloat16")
     rng = np.random.default_rng(0)
     clean = _wav(rng, b, seconds, 0.05)
@@ -243,7 +246,7 @@ def bench_mtfaa_train():
         return acc
 
     elapsed = _time_best3(bench_loop, state, noisy, clean)
-    return f"MTFAA end-to-end training, B={b}", b * seconds * iters / elapsed
+    return f"{label}, B={b}", b * seconds * iters / elapsed
 
 
 # -----------------------------------------------------------------------
@@ -255,6 +258,11 @@ BENCHES = {
     "cruse_df_stream": bench_cruse_df_stream,
     "dfsmn_stream": bench_dfsmn_stream,
     "mtfaa_train": bench_mtfaa_train,
+    # same training step with the block-local windowed ASA (2 s context) --
+    # the deployable low-latency MTFAA configuration (VERDICT r2 item 1a)
+    "mtfaa_train_windowed": functools.partial(
+        bench_mtfaa_train, window=126,
+        label="MTFAA training, windowed ASA w=126"),
 }
 
 

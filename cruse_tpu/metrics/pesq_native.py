@@ -1,32 +1,38 @@
-"""Native wideband PESQ: the full ITU-T P.862 processing pipeline in numpy.
+"""Native PESQ (wideband P.862.2 + narrowband P.862): the full ITU-T
+processing pipeline in numpy.
 
 The reference bound PESQ to the external ``pesq`` package
 (train_base/metrics.py:89-108). That package (and ITU's licensed reference
 tables) is not in this image, so this module implements the COMPLETE P.862 /
 P.862.2 processing chain natively so the composite best-model score
 ``(STOI + (WB_PESQ + 0.5) / 5) / 2`` (base_trainer.py:370-376) is computable
-with no external dependency:
+with no external dependency — and, since round 3, NB_PESQ as well
+(metrics.py:100-108 registered it via the external package only):
 
  1. level alignment: both signals scaled to 10^7 average band power over the
     350-3250 Hz speech band
- 2. wideband input filter: IIR high-pass at 100 Hz (the P.862.2 prefilter
-    role; no IRS receive weighting in WB mode)
+ 2. input filter: WB mode — IIR high-pass at 100 Hz (the P.862.2 prefilter
+    role, no IRS receive weighting); NB mode — an IRS-receive-weighting
+    approximation (bandpass ~300-3100 Hz, the telephone-handset
+    characteristic P.862 applies before the perceptual model)
  3. time alignment: log-envelope cross-correlation (crude) + waveform
     cross-correlation refinement (fine), one global delay
  4. perceptual model: 32 ms Hann frames at 50% overlap -> power spectra ->
-    49 Bark bands -> partial frequency compensation of the reference (the
-    linear-filter compensation, clipped [0.01, 100]) -> short-term gain
-    compensation of the degraded signal (clipped [3e-4, 5], first-order
-    smoothed) -> Zwicker-law loudness above the absolute hearing threshold
+    Bark bands (49 wideband / 42 narrowband) -> partial frequency
+    compensation of the reference (the linear-filter compensation, clipped
+    [0.01, 100]) -> short-term gain compensation of the degraded signal
+    (clipped [3e-4, 5], first-order smoothed) -> Zwicker-law loudness above
+    the absolute hearing threshold
  5. disturbance: loudness difference shrunk by the 0.25*min masking
     deadzone; asymmetric disturbance weighted by the Bark-spectral ratio
     ((deg+50)/(ref+50))^1.2, zeroed below 3, capped at 12
  6. aggregation: width-weighted L2 (symmetric) / L1 (asymmetric) across
     bands; ((E_frame+1e5)/1e7)^0.04-weighted L6 over 320 ms intervals then
     L2 over intervals across time
- 7. raw score 4.5 - f(0.1*D_sym + 0.0309*D_asym) mapped through the P.862.2
-    wideband logistic 0.999 + 4.0 / (1 + exp(-1.3669*x + 3.8224)); f is a
-    calibrated compressive map (see divergence notes)
+ 7. raw score 4.5 - f(0.1*D_sym + 0.0309*D_asym); WB maps through the
+    P.862.2 wideband logistic 0.999 + 4.0/(1 + exp(-1.3669 x + 3.8224)),
+    NB through the P.862.1 logistic 0.999 + 4.004/(1 + exp(-1.4945 x +
+    4.6607)); f is a calibrated compressive map (see divergence notes)
 
 Documented divergence from ITU compliance (P.862 conformance requires the
 standard's licensed data tables, absent from this image):
@@ -34,6 +40,8 @@ standard's licensed data tables, absent from this image):
    with uniform Bark spacing, and the absolute hearing threshold from the
    Terhardt analytic approximation, instead of the ITU tables they
    approximate
+ - the NB IRS receive weighting is a butterworth band-pass approximation of
+   the IRS curve, not the tabulated FIR
  - time alignment estimates one global delay (no per-utterance splitting /
    bad-interval realignment) -- correct for enhancement outputs, which are
    sample-aligned by construction
@@ -41,24 +49,45 @@ standard's licensed data tables, absent from this image):
    (below) chosen so white-noise degradations land on the familiar WB-PESQ
    SNR anchors; scores track PESQ orderings but are not certified P.862
 Scores are deterministic and monotone in distortion (tested); treat small
-absolute offsets vs the ITU binary as expected.
+absolute offsets vs the ITU binary as expected, and run
+``tools/validate_pesq.py`` on any host that has the ``pesq`` package to
+print the per-condition deltas and rank correlation vs the ITU binary.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
 from scipy import signal as sps
 
-SR = 16000
-FRAME = 512  # 32 ms
-HOP = 256
-NB = 49
 TARGET_POWER = 1.0e7  # P.862 level-alignment target (350-3250 Hz band)
-# pins "level-aligned active speech" to the absolute-threshold scale
-# (calibrated on white-noise SNR anchors; see module docstring)
-INTENSITY_SCALE = 10.0 ** (79.0 / 10.0) / (TARGET_POWER * FRAME / 4.0)
 SL = 0.08  # Zwicker specific-loudness constant (sone/Bark)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Mode:
+    sr: int
+    frame: int  # 32 ms
+    hop: int
+    nb: int  # number of Bark bands
+    f_low: float  # lowest band edge (Hz)
+    logistic: tuple  # (slope, offset, span) of the MOS-LQO map
+    mos_max: float
+
+    @property
+    def intensity_scale(self) -> float:
+        # pins "level-aligned active speech" to the absolute-threshold scale
+        # (calibrated on white-noise SNR anchors; see module docstring)
+        return 10.0 ** (79.0 / 10.0) / (TARGET_POWER * self.frame / 4.0)
+
+
+# P.862.2 wideband (16 kHz) and P.862 narrowband (8 kHz) modes; the NB
+# logistic is the P.862.1 raw-score -> MOS-LQO mapping.
+WB = _Mode(sr=16000, frame=512, hop=256, nb=49, f_low=50.0,
+           logistic=(-1.3669, 3.8224, 4.0), mos_max=4.644)
+NBM = _Mode(sr=8000, frame=256, hop=128, nb=42, f_low=100.0,
+            logistic=(-1.4945, 4.6607, 4.004), mos_max=4.549)
 
 
 def _bark(f_hz):
@@ -66,13 +95,13 @@ def _bark(f_hz):
 
 
 @functools.lru_cache(maxsize=None)
-def _band_tables():
+def _band_tables(mode: _Mode):
     """(band matrix [NB, F_bins], widths [NB] in Bark, thresholds [NB])."""
-    freqs = np.fft.rfftfreq(FRAME, 1.0 / SR)
-    edges_bark = np.linspace(_bark(50.0), _bark(SR / 2.0), NB + 1)
+    freqs = np.fft.rfftfreq(mode.frame, 1.0 / mode.sr)
+    edges_bark = np.linspace(_bark(mode.f_low), _bark(mode.sr / 2.0), mode.nb + 1)
     z = _bark(freqs)
-    mat = np.zeros((NB, len(freqs)))
-    for i in range(NB):
+    mat = np.zeros((mode.nb, len(freqs)))
+    for i in range(mode.nb):
         sel = (z >= edges_bark[i]) & (z < edges_bark[i + 1])
         if not sel.any():  # narrow low bands: take the nearest bin
             sel = np.zeros_like(z, bool)
@@ -92,20 +121,26 @@ def _band_tables():
     return mat, widths, thresh
 
 
-def _level_align(x):
-    sos = sps.butter(4, [350, 3250], btype="bandpass", fs=SR, output="sos")
+def _level_align(x, mode: _Mode):
+    hi = min(3250.0, 0.45 * mode.sr)
+    sos = sps.butter(4, [350, hi], btype="bandpass", fs=mode.sr, output="sos")
     band = sps.sosfilt(sos, x)
     p = np.mean(band**2) + 1e-20
     return x * np.sqrt(TARGET_POWER / p)
 
 
-def _wb_input_filter(x):
-    """P.862.2 wideband mode: high-pass at 100 Hz (no IRS weighting)."""
-    sos = sps.butter(2, 100.0, btype="highpass", fs=SR, output="sos")
+def _input_filter(x, mode: _Mode):
+    """WB: P.862.2 high-pass at 100 Hz (no IRS weighting). NB: IRS receive
+    weighting approximation (telephone band-pass ~300-3100 Hz)."""
+    if mode is WB:
+        sos = sps.butter(2, 100.0, btype="highpass", fs=mode.sr, output="sos")
+    else:
+        sos = sps.butter(2, [310.0, 3100.0], btype="bandpass", fs=mode.sr,
+                         output="sos")
     return sps.sosfilt(sos, x)
 
 
-def _time_align(ref, deg):
+def _time_align(ref, deg, mode: _Mode):
     """Crude log-envelope alignment + fine waveform refinement (one global
     delay; P.862's utterance splitting is unnecessary for sample-aligned
     enhancement outputs)."""
@@ -123,7 +158,7 @@ def _time_align(ref, deg):
     lo, hi = delay - 64, delay + 64
     m = min(len(ref), len(deg))
     best, best_v = delay, -np.inf
-    seg = slice(FRAME, min(m, SR * 4))  # bounded work
+    seg = slice(mode.frame, min(m, mode.sr * 4))  # bounded work
     r = ref[seg]
     for d in range(lo, hi + 1):
         s = np.roll(deg[:m], d)[seg]
@@ -137,17 +172,17 @@ def _time_align(ref, deg):
     return deg
 
 
-def _bark_powers(x):
+def _bark_powers(x, mode: _Mode):
     """[T, NB] Bark band powers (internal intensity units) + frame energies."""
-    n = (len(x) - FRAME) // HOP + 1
+    n = (len(x) - mode.frame) // mode.hop + 1
     if n <= 0:
-        return np.zeros((0, NB)), np.zeros((0,))
-    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n)[:, None]
-    fr = x[idx] * np.hanning(FRAME)
+        return np.zeros((0, mode.nb)), np.zeros((0,))
+    idx = np.arange(mode.frame)[None, :] + mode.hop * np.arange(n)[:, None]
+    fr = x[idx] * np.hanning(mode.frame)
     pow_spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
-    mat, _, _ = _band_tables()
-    bands = pow_spec @ mat.T * INTENSITY_SCALE
-    return bands, pow_spec.sum(axis=1) * INTENSITY_SCALE
+    mat, _, _ = _band_tables(mode)
+    bands = pow_spec @ mat.T * mode.intensity_scale
+    return bands, pow_spec.sum(axis=1) * mode.intensity_scale
 
 
 def _loudness(bands, thresh):
@@ -166,32 +201,31 @@ def _lpq_time(frame_vals, h, p1=6.0, p2=2.0, blk=20):
     return float(np.mean(per**p2) ** (1.0 / p2))
 
 
-def wb_pesq_native(reference, estimation, sr: int = 16000) -> float:
-    """Native wideband PESQ MOS-LQO in [1.0, ~4.64]; higher is better."""
+def _pesq_pipeline(reference, estimation, sr: int, mode: _Mode) -> float:
     ref = np.asarray(reference, np.float64).ravel()
     deg = np.asarray(estimation, np.float64).ravel()
-    if sr != SR:
+    if sr != mode.sr:
         from math import gcd
 
-        g = gcd(SR, int(sr))
-        ref = sps.resample_poly(ref, SR // g, int(sr) // g)
-        deg = sps.resample_poly(deg, SR // g, int(sr) // g)
+        g = gcd(mode.sr, int(sr))
+        ref = sps.resample_poly(ref, mode.sr // g, int(sr) // g)
+        deg = sps.resample_poly(deg, mode.sr // g, int(sr) // g)
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
-    if n < 2 * FRAME:
+    if n < 2 * mode.frame:
         return 1.0
 
-    ref = _wb_input_filter(_level_align(ref))
-    deg = _wb_input_filter(_level_align(deg))
-    deg = _time_align(ref, deg)
+    ref = _input_filter(_level_align(ref, mode), mode)
+    deg = _input_filter(_level_align(deg, mode), mode)
+    deg = _time_align(ref, deg, mode)
 
-    b_ref, e_ref = _bark_powers(ref)
-    b_deg, e_deg = _bark_powers(deg)
+    b_ref, e_ref = _bark_powers(ref, mode)
+    b_deg, e_deg = _bark_powers(deg, mode)
     t = min(len(b_ref), len(b_deg))
     b_ref, b_deg, e_ref, e_deg = b_ref[:t], b_deg[:t], e_ref[:t], e_deg[:t]
     if t < 4:
         return 1.0
-    _, widths, thresh = _band_tables()
+    _, widths, thresh = _band_tables(mode)
 
     # speech-active frames of the reference drive everything downstream
     act = e_ref > (e_ref.max() * 10 ** (-45 / 10) + 1e-12)
@@ -247,5 +281,18 @@ def wb_pesq_native(reference, estimation, sr: int = 16000) -> float:
     # this module's analytic band/threshold tables (divergence notes above)
     total = 0.1 * d_sym + 0.0309 * d_asy
     raw = 4.5 - 2.13 * total**0.62
-    mos = 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
-    return float(np.clip(mos, 1.0, 4.644))
+    slope, off, span = mode.logistic
+    mos = 0.999 + span / (1.0 + np.exp(slope * raw + off))
+    return float(np.clip(mos, 1.0, mode.mos_max))
+
+
+def wb_pesq_native(reference, estimation, sr: int = 16000) -> float:
+    """Native wideband PESQ MOS-LQO in [1.0, ~4.64]; higher is better."""
+    return _pesq_pipeline(reference, estimation, sr, WB)
+
+
+def nb_pesq_native(reference, estimation, sr: int = 16000) -> float:
+    """Native narrowband PESQ MOS-LQO in [1.0, ~4.55]: P.862 at 8 kHz with
+    the IRS-receive-weighting approximation and the P.862.1 raw-score ->
+    MOS-LQO logistic. Inputs at any rate are resampled to 8 kHz."""
+    return _pesq_pipeline(reference, estimation, sr, NBM)

@@ -313,6 +313,17 @@ class AxialSelfAttention(nn.Module):
     channels: int
     causal: bool = True
     window: Optional[int] = None
+    # "auto" | "flash" | "flash_interpret" (CPU tests) | "xla"; batch paths only.
+    # "auto" currently resolves to the einsum+mask path: the flash kernel
+    # (ops/asa_kernel.py) is measured SLOWER on v5e at MTFAA geometries
+    # (0.69x full-causal, 0.97x windowed fwd+bwd, scripts/profile_asa.py) --
+    # the per-block matmuls at K=c_att=6..12 are MXU-latency-bound, so
+    # skipping the HBM logits round-trip does not pay. Opt in explicitly to
+    # re-measure.
+    impl: str = "auto"
+
+    def _use_flash(self) -> bool:
+        return self.impl in ("flash", "flash_interpret")
 
     @nn.compact
     def __call__(self, x: jax.Array, state=None, train: bool = False):
@@ -339,6 +350,28 @@ class AxialSelfAttention(nn.Module):
         vt = proj(x, "v_t", self.channels)
 
         if state is None:
+            if self._use_flash():
+                # fused flash kernel: T-minor [B*F, c, T] in, attention
+                # matrix never materialized (ops/asa_kernel.py); same math
+                # as the einsum paths below (parity-tested)
+                from cruse_tpu.ops.asa_kernel import flash_tattn_tm
+
+                w = self.window if self.causal else None
+                xt = flash_tattn_tm(
+                    qt.reshape(b * f, c_att, t),
+                    kt.reshape(b * f, c_att, t),
+                    vt.reshape(b * f, self.channels, t),
+                    w,
+                    self.impl == "flash_interpret",
+                ).reshape(b, f, self.channels, t)
+                if self.window is None:
+                    return x + xt, None
+                wfull = self.window
+                pad_t = max(wfull - 1 - t, 0)
+                k_cache = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
+                v_cache = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
+                count = jnp.asarray(min(t, wfull - 1), jnp.int32)
+                return x + xt, (k_cache, v_cache, count)
             if self.causal and self.window is not None:
                 # block-local causal attention (two-block trick): queries in
                 # time block j attend keys in blocks j-1 and j with the
@@ -496,6 +529,7 @@ class MtfaaConfig:
     band_strides: Tuple[int, ...] = (2, 2, 2)
     tfcm_layers: int = 4
     attention_window: Optional[int] = None  # None = full causal (no streaming)
+    asa_impl: str = "auto"  # "auto": flash ASA kernel on TPU, einsum elsewhere
     mask_activation: str = "sigmoid"
     use_deep_filter: bool = True
     df_taps_t: int = 1
@@ -558,7 +592,8 @@ class MtfaaNet(nn.Module):
                 x, st.get(f"enc_tfcm_{si}"), train=train
             )
             x, new_state[f"enc_asa_{si}"] = AxialSelfAttention(
-                ch, window=cfg.attention_window, name=f"enc_asa_{si}"
+                ch, window=cfg.attention_window, impl=cfg.asa_impl,
+                name=f"enc_asa_{si}"
             )(x, st.get(f"enc_asa_{si}"), train=train)
             skips.append(x)
 

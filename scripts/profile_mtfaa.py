@@ -96,10 +96,20 @@ def measure_forward(name, mcfg):
 
 
 if __name__ == "__main__":
-    base = MtfaaConfig()
-    measure_forward("forward only (base)", base)
-    measure_train("train base (si_snr+spec)", base)
-    measure_train("train si_snr only", base, loss_weights=(("si_snr", 1.0),))
-    measure_train("train no deep filter", MtfaaConfig(use_deep_filter=False))
-    measure_train("train tfcm_layers=2", MtfaaConfig(tfcm_layers=2))
-    measure_train("train channels=(16,24,32)", MtfaaConfig(channels=(16, 24, 32)))
+    which = sys.argv[1] if len(sys.argv) > 1 else "base"
+    if which == "base":
+        base = MtfaaConfig()
+        measure_forward("forward only (base)", base)
+        measure_train("train base (si_snr+spec)", base)
+        measure_train("train si_snr only", base, loss_weights=(("si_snr", 1.0),))
+        measure_train("train no deep filter", MtfaaConfig(use_deep_filter=False))
+        measure_train("train tfcm_layers=2", MtfaaConfig(tfcm_layers=2))
+        measure_train("train channels=(16,24,32)", MtfaaConfig(channels=(16, 24, 32)))
+    elif which == "r3":
+        # round-3 breakdown: ASA impl/window ablations + subtractive TFCM
+        measure_train("train asa xla, full causal", MtfaaConfig(asa_impl="xla"))
+        measure_train("train asa flash, full causal", MtfaaConfig(asa_impl="flash"))
+        measure_train("train asa xla, w=126", MtfaaConfig(asa_impl="xla", attention_window=126))
+        measure_train("train asa flash, w=126", MtfaaConfig(asa_impl="flash", attention_window=126))
+        measure_train("train tfcm_layers=0 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=0))
+        measure_train("train tfcm_layers=1 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=1))
