@@ -47,6 +47,13 @@ class SynMixConfig:
     num_mics: int = 1  # >1: multi-channel batches (noisy [B, M, L]) via the
     # free-field delay simulator (mixer.mix_batch_mc) for MC models
     mc_max_delay: float = 8.0
+    # image-source room simulation for the MC path (mixer.mix_batch_mc_room):
+    # per-example random shoebox, speech + noise as separate in-room sources,
+    # real IPD structure; free-field stays the fast default
+    mc_room: bool = False
+    mc_room_t60: tuple = (0.2, 0.6)
+    mc_room_max_order: int = 1
+    mc_mic_spacing: float = 0.05
     seed: int = 0
     valid_mode: bool = False
     use_native_io: bool = True  # threaded C++ decode/resample/crop when built
@@ -87,12 +94,23 @@ class SynMixDataset:
             eq_proportion=c.eq_proportion,
         )
         if c.num_mics > 1:
-            from cruse_tpu.data.mixer import mix_batch_mc
+            if c.mc_room:
+                from cruse_tpu.data.mixer import RoomConfig, mix_batch_mc_room
 
-            self._mc_mix = jax.jit(
-                lambda k, cl, n: mix_batch_mc(k, cl, n, self.mixer_cfg,
-                                              c.num_mics, c.mc_max_delay)
-            )
+                room = RoomConfig(sr=c.sr, t60=tuple(c.mc_room_t60),
+                                  max_order=int(c.mc_room_max_order),
+                                  mic_spacing=c.mc_mic_spacing)
+                self._mc_mix = jax.jit(
+                    lambda k, cl, n: mix_batch_mc_room(k, cl, n, self.mixer_cfg,
+                                                       room, c.num_mics)
+                )
+            else:
+                from cruse_tpu.data.mixer import mix_batch_mc
+
+                self._mc_mix = jax.jit(
+                    lambda k, cl, n: mix_batch_mc(k, cl, n, self.mixer_cfg,
+                                                  c.num_mics, c.mc_max_delay)
+                )
         # one jitted mix closure per (rir, rir_noise) presence combination
         self._mix_fns = {
             (False, False): jax.jit(lambda k, c, n: mix_batch(k, c, n, self.mixer_cfg)),

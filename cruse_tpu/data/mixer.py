@@ -204,3 +204,185 @@ def mix_batch(key: jax.Array, clean: jax.Array, noise: jax.Array, cfg: MixerConf
     return jax.vmap(lambda k, c, n, r, rn: mix_single(k, c, n, cfg, r, rn))(
         keys, clean, noise, rir, rir_noise
     )
+
+
+# ---------------- image-source room simulator (multi-mic) ----------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RoomConfig:
+    """Randomized shoebox rooms for the multi-mic path (reference lineage:
+    the reference computes directional features, feature.py:423-611, but has
+    no MC data simulation at all; the free-field delay model above was the
+    round-2 stand-in). Image-source model (Allen & Berkley) up to
+    `max_order` reflections per axis, synthesized exactly in the frequency
+    domain (fractional delays = phase ramps, so IPDs are physically
+    consistent across mics), plus an optional stochastic decorrelated late
+    tail matched to the drawn T60 (hybrid ISM-early + diffuse-late)."""
+
+    sr: int = 16000
+    room_lx: tuple = (4.0, 8.0)
+    room_ly: tuple = (3.0, 6.0)
+    room_lz: tuple = (2.4, 3.5)
+    t60: tuple = (0.2, 0.6)
+    max_order: int = 1  # images per axis: 2*(2*order+1); order 1 -> 216 total
+    mic_spacing: float = 0.05  # linear array along x, centered in the room
+    rir_seconds: float = 0.4
+    late_tail: bool = True
+    c: float = 343.0
+
+
+def _sample_shoebox(key, num_mics: int, room: RoomConfig):
+    """Random room + source/array geometry. Returns (image positions
+    [Ni, 3], per-image amplitudes [Ni], mic positions [M, 3], T60)."""
+    kl, ks, ka, kt = jax.random.split(key, 4)
+    lo = jnp.array([room.room_lx[0], room.room_ly[0], room.room_lz[0]])
+    hi = jnp.array([room.room_lx[1], room.room_ly[1], room.room_lz[1]])
+    dims = jax.random.uniform(kl, (3,), minval=lo, maxval=hi)
+    # source somewhere in the room interior (0.5 m off the walls)
+    src = jax.random.uniform(ks, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
+    # linear array along x at a random interior point
+    center = jax.random.uniform(ka, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
+    offs = (jnp.arange(num_mics) - (num_mics - 1) / 2.0) * room.mic_spacing
+    mics = center[None, :] + jnp.stack(
+        [offs, jnp.zeros_like(offs), jnp.zeros_like(offs)], axis=-1
+    )
+    t60 = jax.random.uniform(kt, (), minval=room.t60[0], maxval=room.t60[1])
+    # Sabine -> uniform wall energy absorption -> reflection coefficient
+    vol = jnp.prod(dims)
+    surf = 2.0 * (dims[0] * dims[1] + dims[0] * dims[2] + dims[1] * dims[2])
+    absorption = jnp.clip(0.161 * vol / (surf * t60), 0.01, 0.99)
+    beta = jnp.sqrt(1.0 - absorption)
+
+    n = room.max_order
+    qs = jnp.arange(-n, n + 1)  # wall-pair index
+    # Allen-Berkley image set per axis: eps*src + 2*q*L, reflection count
+    # |2q| (eps=+1) or |2q-1| (eps=-1)
+    q_grid = jnp.repeat(qs, 2)  # [2(2n+1)]
+    eps_grid = jnp.tile(jnp.array([1.0, -1.0]), 2 * n + 1)
+    refl_grid = jnp.where(eps_grid > 0, jnp.abs(2 * q_grid), jnp.abs(2 * q_grid - 1))
+
+    def axis_images(s, l):
+        return eps_grid * s + 2.0 * q_grid.astype(jnp.float32) * l
+
+    ax = [axis_images(src[i], dims[i]) for i in range(3)]
+    na = ax[0].shape[0]
+    ii, jj, kk = jnp.meshgrid(jnp.arange(na), jnp.arange(na), jnp.arange(na),
+                              indexing="ij")
+    ii, jj, kk = ii.ravel(), jj.ravel(), kk.ravel()
+    pos = jnp.stack([ax[0][ii], ax[1][jj], ax[2][kk]], axis=-1)  # [Ni, 3]
+    n_refl = refl_grid[ii] + refl_grid[jj] + refl_grid[kk]
+    amps = beta**n_refl
+    return pos, amps, mics, t60
+
+
+def room_transfers(key, num_mics: int, nfft: int, room: RoomConfig,
+                   early_ms: float = 50.0):
+    """Per-mic transfer functions for one source: (H [M, F], H_early [F] for
+    mic 0, T60). Exact fractional delays via rFFT phase ramps; images summed
+    in chunks to bound memory. Amplitudes follow 1/(4 pi d) spreading."""
+    k_geo, k_tail = jax.random.split(key)
+    pos, amps, mics, t60 = _sample_shoebox(k_geo, num_mics, room)
+    sr, c = room.sr, room.c
+    freqs = jnp.fft.rfftfreq(nfft)  # cycles/sample
+    dist = jnp.linalg.norm(pos[:, None, :] - mics[None, :, :], axis=-1)  # [Ni, M]
+    delay = dist / c * sr  # samples
+    gain = amps[:, None] / (4.0 * jnp.pi * jnp.maximum(dist, 0.1))  # [Ni, M]
+    direct_delay = delay[jnp.argmin(dist[:, 0]), 0]
+    early_cut = direct_delay + early_ms * sr / 1000.0
+
+    def chunk_sum(carry, idx):
+        h, h_early = carry
+        d = jax.lax.dynamic_slice_in_dim(delay, idx, CH, axis=0)  # [CH, M]
+        g = jax.lax.dynamic_slice_in_dim(gain, idx, CH, axis=0)
+        ph = jnp.exp(-2j * jnp.pi * freqs[None, None, :] * d[:, :, None])
+        h = h + jnp.sum(g[:, :, None] * ph, axis=0)
+        is_early = (d[:, 0] <= early_cut).astype(jnp.float32)
+        h_early = h_early + jnp.sum(
+            (g[:, 0] * is_early)[:, None] * ph[:, 0, :], axis=0
+        )
+        return (h, h_early), None
+
+    ni = delay.shape[0]
+    CH = 24
+    pad = (-ni) % CH
+    delay = jnp.pad(delay, ((0, pad), (0, 0)), constant_values=1e9)  # huge delay
+    gain = jnp.pad(gain, ((0, pad), (0, 0)))  # zero gain -> no contribution
+    (h, h_early), _ = jax.lax.scan(
+        chunk_sum,
+        (jnp.zeros((num_mics, freqs.shape[0]), jnp.complex64),
+         jnp.zeros((freqs.shape[0],), jnp.complex64)),
+        jnp.arange(0, ni + pad, CH),
+    )
+
+    if room.late_tail:
+        # decorrelated gaussian tail per mic, exp decay at the drawn T60,
+        # starting after the last ISM image could land; energy matched to a
+        # continuation of the image series
+        r_len = int(room.rir_seconds * sr)
+        t = jnp.arange(r_len) / sr
+        start = direct_delay / sr + 0.012 * (2 * room.max_order + 1)
+        env = jnp.exp(-6.908 * jnp.maximum(t - start, 0.0) / t60) * (t >= start)
+        mean_gain = jnp.mean(gain[: ni]) if ni else 0.0
+        tails = mean_gain * env[None, :] * jax.random.normal(
+            k_tail, (num_mics, r_len)
+        )
+        h = h + jnp.fft.rfft(tails, nfft)
+    return h, h_early, t60
+
+
+def mix_single_mc_room(key, clean, noise, cfg: MixerConfig, room: RoomConfig,
+                       num_mics: int):
+    """Reverberant multi-mic mixture via the image-source model:
+    (noisy [M, L], target [L]).
+
+    Speech and noise are separate sources in the SAME room (independent
+    positions), so inter-mic phase differences carry true spatial structure.
+    The target is the early-reflection (direct + `predelay_ms`) speech at
+    the reference mic; SNR is set at the reference mic after propagation."""
+    l = clean.shape[-1]
+    nfft = 1 << (l + int(room.rir_seconds * room.sr) - 1).bit_length()
+    k_rc, k_rn, k_snr, k_dbfs = jax.random.split(key, 4)
+    eps = cfg.eps
+    clean = clean / (jnp.max(jnp.abs(clean)) + eps)
+    noise = noise / (jnp.max(jnp.abs(noise)) + eps)
+
+    h_c, h_c_early, _ = room_transfers(k_rc, num_mics, nfft, room, cfg.predelay_ms)
+    h_n, _, _ = room_transfers(k_rn, num_mics, nfft, room, cfg.predelay_ms)
+    spec_c = jnp.fft.rfft(clean, nfft)
+    spec_n = jnp.fft.rfft(noise, nfft)
+    rev_c = jnp.fft.irfft(spec_c[None, :] * h_c, nfft)[:, :l]  # [M, L]
+    rev_n = jnp.fft.irfft(spec_n[None, :] * h_n, nfft)[:, :l]
+    target = jnp.fft.irfft(spec_c * h_c_early, nfft)[:l]
+    if not cfg.use_early_reverb_target:
+        target = rev_c[0]
+
+    snr = jax.random.randint(
+        k_snr, (), cfg.snr_range[0], cfg.snr_range[1] + 1
+    ).astype(jnp.float32)
+    snr_scalar = _rms(rev_c[0])[..., 0] / (10.0 ** (snr / 20.0)) / (
+        _rms(rev_n[0])[..., 0] + eps
+    )
+    noisy = rev_c + rev_n * snr_scalar
+
+    dbfs = jax.random.uniform(
+        k_dbfs, (),
+        minval=cfg.target_db_fs - cfg.target_db_fs_floating,
+        maxval=cfg.target_db_fs + cfg.target_db_fs_floating,
+    )
+    scalar = 10.0 ** (dbfs / 20.0) / (_rms(noisy[0])[..., 0] + eps)
+    noisy, target = noisy * scalar, target * scalar
+    peak = jnp.max(jnp.abs(noisy))
+    over = peak > cfg.clip_threshold
+    fix = jnp.where(over, cfg.clip_threshold / (peak + eps), 1.0)
+    return noisy * fix, target * fix
+
+
+def mix_batch_mc_room(key, clean, noise, cfg: MixerConfig, room: RoomConfig,
+                      num_mics: int):
+    """vmap of mix_single_mc_room: clean/noise [B, L] -> ([B, M, L], [B, L]);
+    every example draws its own room, geometry, and T60."""
+    keys = jax.random.split(key, clean.shape[0])
+    return jax.vmap(
+        lambda k, c, n: mix_single_mc_room(k, c, n, cfg, room, num_mics)
+    )(keys, clean, noise)

@@ -30,7 +30,14 @@ import optax
 
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.models.bsrnn import Discriminator, batch_quality_scores
-from cruse_tpu.train.step import StepConfig, TrainState, init_train_state, make_optimizer
+from cruse_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    cast_forward,
+    forward_for_model,
+    init_train_state,
+    make_optimizer,
+)
 from cruse_tpu.losses.sisnr import si_snr_loss
 
 
@@ -62,23 +69,35 @@ def init_metricgan_state(gen_model, disc: Discriminator, cfg: MetricGanConfig,
     )
 
 
-def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig):
-    """Returns (enhance_fn, disc_step, gen_step) -- all jittable."""
+def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig,
+                         forward=None):
+    """Returns (enhance_fn, disc_step, gen_step) -- all jittable.
+
+    `forward` is the family adapter (train/step.py forward_for_model), so
+    ANY zoo generator (mask models, BSRNN/MTFAA complex models, CRUSE+DF)
+    trains adversarially through the same recipe."""
     scfg = cfg.step.stft
     gen_tx = make_optimizer(cfg.step)
     disc_tx = optax.adam(cfg.disc_lr)
+    forward = forward if forward is not None else forward_for_model(gen_model)
+    if cfg.step.compute_dtype is not None:
+        forward = cast_forward(forward, jnp.dtype(cfg.step.compute_dtype))
 
     def _mags(wav):
         return jnp.abs(stft(wav, scfg))
 
+    def _enhanced_wav(params, batch_stats, noisy, train):
+        spec = stft(noisy, scfg)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        out_ri, new_stats = forward(params, batch_stats, ri, train)
+        wav = istft((out_ri[..., 0], out_ri[..., 1]), scfg, length=noisy.shape[-1])
+        return wav, new_stats
+
     @jax.jit
     def enhance(state: MetricGanState, noisy):
-        spec = stft(noisy, scfg)
-        feat = gen_model.compress(jnp.abs(spec))
-        mask, _ = gen_model.apply(
-            {"params": state.gen.params, "batch_stats": state.gen.batch_stats}, feat
-        )
-        return istft(spec * mask, scfg, length=noisy.shape[-1])
+        wav, _ = _enhanced_wav(state.gen.params, state.gen.batch_stats, noisy,
+                               train=False)
+        return wav
 
     @jax.jit
     def disc_step(state: MetricGanState, clean, enhanced, scores):
@@ -106,32 +125,34 @@ def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig):
     @jax.jit
     def gen_step(state: MetricGanState, batch: Dict[str, jax.Array]):
         noisy, clean = batch["noisy"], batch["clean"]
-        spec = stft(noisy, scfg)
-        feat = gen_model.compress(jnp.abs(spec))
         clean_mag = _mags(clean)
 
         def loss_fn(p):
-            (mask, _), new_vars = gen_model.apply(
-                {"params": p, "batch_stats": state.gen.batch_stats},
-                feat, None, True, mutable=["batch_stats"],
-            )
-            enhanced = istft(spec * mask, scfg, length=noisy.shape[-1])
+            enhanced, new_stats = _enhanced_wav(p, state.gen.batch_stats, noisy,
+                                                train=True)
             task = si_snr_loss(enhanced, clean)
             d_enh = disc.apply(
                 {"params": state.disc_params, "batch_stats": state.disc_stats},
                 clean_mag, _mags(enhanced),
             )
             adv = jnp.mean(jnp.square(d_enh - 1.0))
-            return task + cfg.adv_weight * adv, (new_vars["batch_stats"], task, adv)
+            return task + cfg.adv_weight * adv, (new_stats, task, adv)
 
         (loss, (new_stats, task, adv)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.gen.params
         )
         updates, new_opt = gen_tx.update(grads, state.gen.opt_state, state.gen.params)
         new_params = optax.apply_updates(state.gen.params, updates)
+        if cfg.step.ema_decay is not None:
+            d = cfg.step.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, q: d * e + (1.0 - d) * q, state.gen.ema_params, new_params
+            )
+        else:
+            new_ema = None
         new_gen = state.gen._replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
-            step=state.gen.step + 1,
+            step=state.gen.step + 1, ema_params=new_ema,
         )
         return state._replace(gen=new_gen), {
             "gen_loss": loss, "task_loss": task, "adv_loss": adv

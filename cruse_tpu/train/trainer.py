@@ -61,6 +61,10 @@ class TrainerConfig:
     only_validation: bool = False
     visualization_examples: int = 3
     num_metric_workers: int = 10
+    # MetricGAN+ adversarial training ([trainer.adversarial] in the TOML):
+    # dict with adv_weight, disc_lr, ndf, replay_capacity, pretrain_steps.
+    # None = standard (non-adversarial) training.
+    adversarial: Optional[dict] = None
 
 
 class Trainer:
@@ -120,6 +124,10 @@ class Trainer:
             donate_argnums=0,
         )
         self._enhance = jax.jit(self._enhance_fn)
+        self._adv = None
+        if trainer_config.adversarial:
+            assert mesh is None, "adversarial training does not support a mesh yet"
+            self._init_adversarial(dict(trainer_config.adversarial), resume)
         # writer: None = auto-create TensorBoard, False = disabled, else used
         if writer is False:
             self.writer = None
@@ -135,6 +143,101 @@ class Trainer:
 
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
         log(f"Model parameters: {n_params / 1e6:.3f} million.")
+
+    # ---- MetricGAN+ adversarial training (ref: testBSRNN.py:157-184) ----
+
+    def _init_adversarial(self, adv: dict, resume: bool) -> None:
+        """Wire the full MetricGAN+ recipe (train/metricgan.py) into the
+        epoch loop: discriminator + optimizer, replay buffer, optional D
+        pretraining, D checkpointing alongside the generator trio."""
+        import orbax.checkpoint as ocp
+
+        from cruse_tpu.models.bsrnn import Discriminator
+        from cruse_tpu.train.metricgan import (
+            MetricGanConfig,
+            ReplayBuffer,
+            make_metricgan_steps,
+        )
+
+        disc = Discriminator(ndf=int(adv.get("ndf", 16)))
+        mgcfg = MetricGanConfig(
+            step=self.step_cfg,
+            disc_lr=float(adv.get("disc_lr", 1e-4)),
+            adv_weight=float(adv.get("adv_weight", 1.0)),
+            ndf=int(adv.get("ndf", 16)),
+        )
+        steps = make_metricgan_steps(self.model, disc, mgcfg,
+                                     forward=forward_for_model(self.model))
+        nbins = self.scfg.n_fft // 2 + 1
+        ex_mag = jnp.zeros((1, 16, nbins))
+        dvars = disc.init(jax.random.PRNGKey(1), ex_mag, ex_mag)
+        import optax
+
+        disc_tx = optax.adam(mgcfg.disc_lr)
+        self._adv = {
+            "steps": steps,
+            "disc_params": dvars["params"],
+            "disc_stats": dvars.get("batch_stats", {}),
+            "disc_opt": disc_tx.init(dvars["params"]),
+            "replay": ReplayBuffer(capacity=int(adv.get("replay_capacity", 32))),
+            "pretrain_steps": int(adv.get("pretrain_steps", 0)),
+            "pretrained": False,
+        }
+        log(f"adversarial (MetricGAN+): adv_weight={mgcfg.adv_weight}, "
+            f"disc_lr={mgcfg.disc_lr}, ndf={mgcfg.ndf}, "
+            f"replay={self._adv['replay'].capacity}, "
+            f"pretrain_steps={self._adv['pretrain_steps']}")
+        disc_dir = self.checkpoints_dir / "disc_latest"
+        if resume and disc_dir.exists():
+            cp = ocp.PyTreeCheckpointer()
+            tmpl = {k: self._adv[k] for k in ("disc_params", "disc_stats", "disc_opt")}
+            restored = cp.restore(disc_dir, item=jax.device_get(tmpl))
+            self._adv.update(restored)
+            self._adv["pretrained"] = True  # resumed D is past pretraining
+            log("discriminator checkpoint restored.")
+
+    def _mg_state(self):
+        from cruse_tpu.train.metricgan import MetricGanState
+
+        return MetricGanState(
+            gen=self.state,
+            disc_params=self._adv["disc_params"],
+            disc_stats=self._adv["disc_stats"],
+            disc_opt=self._adv["disc_opt"],
+        )
+
+    def _mg_sync(self, mg) -> None:
+        self.state = mg.gen
+        self._adv.update(
+            disc_params=mg.disc_params, disc_stats=mg.disc_stats, disc_opt=mg.disc_opt
+        )
+
+    def _save_disc(self) -> None:
+        if self._adv is None:
+            return
+        import orbax.checkpoint as ocp
+
+        cp = ocp.PyTreeCheckpointer()
+        tree = jax.device_get(
+            {k: self._adv[k] for k in ("disc_params", "disc_stats", "disc_opt")}
+        )
+        cp.save(self.checkpoints_dir / "disc_latest", tree, force=True)
+
+    def _pretrain_discriminator(self) -> None:
+        from cruse_tpu.train.metricgan import pretrain_discriminator
+        import itertools
+
+        n = self._adv["pretrain_steps"]
+        self._adv["pretrained"] = True
+        if n <= 0:
+            return
+        batches = self.train_batches() if callable(self.train_batches) else self.train_batches
+        mg, loss = pretrain_discriminator(
+            self._mg_state(), self._adv["steps"], itertools.islice(iter(batches), n),
+            sr=self.cfg.sr, replay=self._adv["replay"],
+        )
+        self._mg_sync(mg)
+        log(f"D pretraining ({n} metric-scored batches): mean loss {loss:.5f}")
 
     # ---- SPMD placement ----
 
@@ -204,7 +307,16 @@ class Trainer:
             if getattr(self, "_preempted", None) and self._preempted["flag"]:
                 break  # finish the epoch early; caller checkpoints
             batch = self._put_batch({"noisy": batch["noisy"], "clean": batch["clean"]})
-            self.state, metrics = self._train_step(self.state, batch)
+            if self._adv is not None:
+                from cruse_tpu.train.metricgan import metricgan_train_batch
+
+                mg, metrics = metricgan_train_batch(
+                    self._mg_state(), batch, self._adv["steps"],
+                    sr=self.cfg.sr, replay=self._adv["replay"],
+                )
+                self._mg_sync(mg)
+            else:
+                self.state, metrics = self._train_step(self.state, batch)
             count += 1
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
@@ -332,6 +444,8 @@ class Trainer:
                 signal.signal(sig, h)
 
     def _train_loop(self, preempted) -> None:
+        if self._adv is not None and not self._adv["pretrained"] and not self.cfg.only_validation:
+            self._pretrain_discriminator()
         for epoch in range(self.start_epoch, self.cfg.epochs + 1):
             log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
 
@@ -346,6 +460,7 @@ class Trainer:
 
             if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
                 save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
+                self._save_disc()
 
             if epoch % self.cfg.validation_interval == 0:
                 log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
@@ -356,5 +471,6 @@ class Trainer:
             log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
             if preempted["flag"]:
                 save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
+                self._save_disc()
                 log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
                 return

@@ -15,6 +15,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# persistent compile cache: variant sweeps re-run across invocations
+_cache = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from cruse_tpu.dsp.stft import StftConfig, stft
 from cruse_tpu.models import MtfaaNet
 from cruse_tpu.models.mtfaa import MtfaaConfig
@@ -105,11 +111,18 @@ if __name__ == "__main__":
         measure_train("train no deep filter", MtfaaConfig(use_deep_filter=False))
         measure_train("train tfcm_layers=2", MtfaaConfig(tfcm_layers=2))
         measure_train("train channels=(16,24,32)", MtfaaConfig(channels=(16, 24, 32)))
-    elif which == "r3":
-        # round-3 breakdown: ASA impl/window ablations + subtractive TFCM
-        measure_train("train asa xla, full causal", MtfaaConfig(asa_impl="xla"))
-        measure_train("train asa flash, full causal", MtfaaConfig(asa_impl="flash"))
-        measure_train("train asa xla, w=126", MtfaaConfig(asa_impl="xla", attention_window=126))
-        measure_train("train asa flash, w=126", MtfaaConfig(asa_impl="flash", attention_window=126))
-        measure_train("train tfcm_layers=0 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=0))
-        measure_train("train tfcm_layers=1 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=1))
+    elif which.startswith("r3"):
+        # round-3 breakdown: ASA impl/window ablations + subtractive TFCM.
+        # Each variant compiles a full train-step graph (minutes on this
+        # 1-core host) -> select one by index: `r3:0` .. `r3:5`.
+        variants = [
+            ("train asa xla, full causal", MtfaaConfig(asa_impl="xla")),
+            ("train asa flash, full causal", MtfaaConfig(asa_impl="flash")),
+            ("train asa xla, w=126", MtfaaConfig(asa_impl="xla", attention_window=126)),
+            ("train asa flash, w=126", MtfaaConfig(asa_impl="flash", attention_window=126)),
+            ("train tfcm_layers=0 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=0)),
+            ("train tfcm_layers=1 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=1)),
+        ]
+        sel = [int(which.split(":", 1)[1])] if ":" in which else range(len(variants))
+        for i in sel:
+            measure_train(*variants[i])

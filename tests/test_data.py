@@ -195,3 +195,61 @@ def test_dataset_passes_rir_noise(tmp_path, rng):
     b_on = next(iter(ds_on.batches(num_batches=1)))
     b_off = next(iter(ds_off.batches(num_batches=1)))
     assert np.abs(np.asarray(b_on["noisy"]) - np.asarray(b_off["noisy"])).max() > 1e-4
+
+
+def test_mc_room_mixer_shapes_and_spatial_structure():
+    """Image-source room mixer (mixer.mix_batch_mc_room): shapes, finiteness,
+    determinism per key, and real spatial structure -- inter-mic coherence
+    below 1 (reverb decorrelates) but well above 0 (shared sources), and the
+    target is the early-reflection speech at the reference mic."""
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.data.mixer import MixerConfig, RoomConfig, mix_batch_mc_room
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    clean = jnp.asarray(
+        (np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         ).astype(np.float32)[None].repeat(2, 0))
+    noise = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.3)
+    cfg = MixerConfig(snr_range=(5, 15))
+    room = RoomConfig()
+    f = jax.jit(lambda k, c, n: mix_batch_mc_room(k, c, n, cfg, room, 4))
+    key = jax.random.PRNGKey(3)
+    noisy, target = f(key, clean, noise)
+    assert noisy.shape == (2, 4, 16000) and target.shape == (2, 16000)
+    assert bool(jnp.isfinite(noisy).all()) and bool(jnp.isfinite(target).all())
+    # determinism
+    noisy2, target2 = f(key, clean, noise)
+    np.testing.assert_allclose(np.asarray(noisy), np.asarray(noisy2), atol=1e-6)
+    # different key -> different room
+    noisy3, _ = f(jax.random.PRNGKey(4), clean, noise)
+    assert not np.allclose(np.asarray(noisy), np.asarray(noisy3), atol=1e-3)
+    # spatial structure: mics correlated but not identical
+    a = np.asarray(noisy[0, 0]); b = np.asarray(noisy[0, 1])
+    rho = np.dot(a - a.mean(), b - b.mean()) / (len(a) * a.std() * b.std())
+    assert 0.1 < abs(rho) < 0.999, rho
+    # target correlates with the clean source (it's the early speech)
+    c0 = np.asarray(clean[0]); tg = np.asarray(target[0])
+    xc = np.correlate(tg - tg.mean(), c0 - c0.mean(), "full")
+    peak = xc.max() / (len(c0) * tg.std() * c0.std() + 1e-12)
+    assert peak > 0.5, peak
+
+
+def test_syn_dataset_mc_room_batches(tmp_path, rng):
+    """SynMixDataset with mc_room=true yields [B, M, L] reverberant batches."""
+    from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+
+    clean_mf = _make_corpus(tmp_path / "c3", rng)
+    noise_mf = _make_corpus(tmp_path / "n3", rng)
+    ds = SynMixDataset(SynMixConfig(
+        clean_manifest=clean_mf,
+        noise_manifest=noise_mf,
+        snr_range=(0, 10), sub_sample_seconds=0.5, sr=16000, batch_size=2,
+        num_mics=3, mc_room=True, mc_room_t60=(0.2, 0.4),
+    ))
+    batch = next(iter(ds.batches(num_batches=1)))
+    assert batch["noisy"].shape == (2, 3, 8000)
+    assert batch["clean"].shape == (2, 8000)
+    assert bool(np.isfinite(np.asarray(batch["noisy"])).all())

@@ -119,3 +119,76 @@ def test_metricgan_full_recipe(rng):
     assert np.isfinite(float(metrics["task_loss"]))
     assert np.isfinite(float(metrics["adv_loss"]))
     assert float(metrics["task_loss"]) <= task_first + 1.0  # no blow-up
+
+
+def test_trainer_adversarial_mode(tmp_path):
+    """[trainer.adversarial] drives the full MetricGAN+ alternation through
+    the standard Trainer: D pretrains, D loss is finite, G trains, and BOTH
+    G and D checkpoints are written (VERDICT r2 item 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4), rnn_groups=2))
+    clean = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + noise), "clean": jnp.asarray(clean),
+             "name": ["a", "b"]}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    trainer = Trainer(
+        model,
+        StepConfig(stft=scfg, learning_rate=1e-3),
+        TrainerConfig(
+            epochs=2, steps_per_epoch=2, save_dir=str(tmp_path),
+            experiment_name="gan", metrics=("STOI", "SI_SDR"),
+            visualization_examples=0,
+            adversarial={"adv_weight": 0.5, "disc_lr": 1e-4, "ndf": 4,
+                         "replay_capacity": 4, "pretrain_steps": 1},
+        ),
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        writer=False,
+    )
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    d0 = np.asarray(jax.tree_util.tree_leaves(trainer._adv["disc_params"])[0]).copy()
+    trainer.train()
+    ckpt = tmp_path / "gan" / "checkpoints"
+    assert (ckpt / "latest").exists()
+    assert (ckpt / "disc_latest").exists()
+    # both networks actually moved
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]), p0)
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer._adv["disc_params"])[0]), d0)
+
+    # resume restores the discriminator too
+    trainer2 = Trainer(
+        model,
+        StepConfig(stft=scfg, learning_rate=1e-3),
+        TrainerConfig(
+            epochs=3, steps_per_epoch=2, save_dir=str(tmp_path),
+            experiment_name="gan", metrics=("STOI", "SI_SDR"),
+            visualization_examples=0,
+            adversarial={"adv_weight": 0.5, "ndf": 4, "pretrain_steps": 1},
+        ),
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        resume=True,
+        writer=False,
+    )
+    assert trainer2.start_epoch == 3
+    assert trainer2._adv["pretrained"] is True
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer2._adv["disc_params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(trainer._adv["disc_params"])[0]),
+        atol=1e-7,
+    )

@@ -137,6 +137,9 @@ def main():
         save_dir=config["meta"].get("save_dir", "runs"),
         experiment_name=exp_name,
         only_validation=args.only_validation,
+        # [trainer.adversarial] switches the epoch loop to the full
+        # MetricGAN+ alternation (replay + D pretraining + D checkpoints)
+        adversarial=config.get("trainer", {}).get("adversarial"),
     )
 
     example = next(iter(train_ds.batches(num_batches=1)))
