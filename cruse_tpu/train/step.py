@@ -56,6 +56,12 @@ class StepConfig:
     skip_nonfinite_updates: bool = True  # NaN/Inf gradient guard: drop the
     # update instead of poisoning the params (the reference only *logged*
     # NaNs, train_base/utils.py:48-50)
+    remat: Optional[str] = None  # rematerialization policy for the model
+    # forward under vjp: None (save all residuals), "dots" (save matmul
+    # outputs, recompute elementwise), "all" (save nothing, recompute the
+    # whole forward). MTFAA's train step is HBM-bandwidth bound at 1.5% MXU
+    # (scripts/roofline_mtfaa.py: 134 GB/step at ~88% of peak), so trading
+    # recompute FLOPs for residual traffic is nearly free.
     compute_dtype: Optional[str] = None  # e.g. "bfloat16": model fwd/bwd in
     # bf16 with fp32 master params + fp32 DSP/losses/updates (TPU-native
     # mixed precision -- replaces the reference's CUDA AMP GradScaler,
@@ -304,6 +310,12 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
 
         def model_out(params):
             return forward(params, state.batch_stats, model_input_ri)
+
+        if cfg.remat is not None:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat == "dots" else
+                      jax.checkpoint_policies.nothing_saveable)
+            model_out = jax.checkpoint(model_out, policy=policy)
 
         enhanced_ri, vjp_fn, new_batch_stats = jax.vjp(model_out, state.params, has_aux=True)
 

@@ -53,13 +53,15 @@ def _time3(loop, *args):
     return min(times)
 
 
-def measure_train(name, mcfg, loss_weights=(("si_snr", 1.0), ("spec", 1.0))):
+def measure_train(name, mcfg, loss_weights=(("si_snr", 1.0), ("spec", 1.0)),
+                  remat=None):
     scfg = StftConfig(n_fft=512, hop_length=256)
     model = MtfaaNet(mcfg)
     noisy, clean = _data()
     spec = stft(noisy, scfg)
     feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16", loss_weights=loss_weights)
+    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16", loss_weights=loss_weights,
+                     remat=remat)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
     step = make_train_step(model, cfg, forward=forward_for_model(model))
 
@@ -122,7 +124,17 @@ if __name__ == "__main__":
             ("train asa flash, w=126", MtfaaConfig(asa_impl="flash", attention_window=126)),
             ("train tfcm_layers=0 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=0)),
             ("train tfcm_layers=1 (xla asa)", MtfaaConfig(asa_impl="xla", tfcm_layers=1)),
+            # remat: the roofline showed the step is HBM-bandwidth bound at
+            # 1.5% MXU -- trade recompute for residual traffic
+            ("train remat=all, full causal", MtfaaConfig(asa_impl="xla"), None, "all"),
+            ("train remat=dots, full causal", MtfaaConfig(asa_impl="xla"), None, "dots"),
+            ("train remat=all, w=126", MtfaaConfig(asa_impl="xla", attention_window=126), None, "all"),
+            ("train remat=dots, w=126", MtfaaConfig(asa_impl="xla", attention_window=126), None, "dots"),
         ]
         sel = [int(which.split(":", 1)[1])] if ":" in which else range(len(variants))
         for i in sel:
-            measure_train(*variants[i])
+            v = variants[i]
+            if len(v) == 4:
+                measure_train(v[0], v[1], remat=v[3])
+            else:
+                measure_train(v[0], v[1])

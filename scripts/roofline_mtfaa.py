@@ -49,7 +49,14 @@ def build(window=None):
 
 
 def main():
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    # args: [window|none] [measured_ms_per_step]. When a measured time is
+    # given (from scripts/profile_mtfaa.py, same shapes), skip the second
+    # whole-loop compile -- a full AOT compile alone takes minutes on this
+    # 1-core host.
+    window = None
+    if len(sys.argv) > 1 and sys.argv[1].lower() not in ("none", "-"):
+        window = int(sys.argv[1])
+    measured_ms = float(sys.argv[2]) if len(sys.argv) > 2 else None
     train_step, state, noisy, clean, audio_sec = build(window)
 
     step = jax.jit(train_step)
@@ -60,25 +67,28 @@ def main():
     flops = ca.get("flops", float("nan"))
     bytes_hbm = ca.get("bytes accessed", float("nan"))
 
-    # measure: 4 steps on device, state threads through (sequential dependence)
-    @jax.jit
-    def loop(state, noisy, clean):
-        def body(i, carry):
-            st, acc = carry
-            st, m = train_step(st, {"noisy": noisy + 1e-6 * acc, "clean": clean})
-            return st, m["grad_norm"]
-        _, acc = lax.fori_loop(0, 4, body, (state, jnp.float32(0.0)))
-        return acc
+    if measured_ms is not None:
+        per_step = measured_ms / 1e3
+    else:
+        # measure: 4 steps on device, state threads through
+        @jax.jit
+        def loop(state, noisy, clean):
+            def body(i, carry):
+                st, acc = carry
+                st, m = train_step(st, {"noisy": noisy + 1e-6 * acc, "clean": clean})
+                return st, m["grad_norm"]
+            _, acc = lax.fori_loop(0, 4, body, (state, jnp.float32(0.0)))
+            return acc
 
-    float(loop(state, noisy, clean))
-    times = []
-    for rep in range(3):
-        n2 = noisy * (1.0 + 1e-4 * (rep + 1))
-        jax.block_until_ready(n2)
-        t0 = time.perf_counter()
-        float(loop(state, n2, clean))
-        times.append(time.perf_counter() - t0)
-    per_step = min(times) / 4
+        float(loop(state, noisy, clean))
+        times = []
+        for rep in range(3):
+            n2 = noisy * (1.0 + 1e-4 * (rep + 1))
+            jax.block_until_ready(n2)
+            t0 = time.perf_counter()
+            float(loop(state, n2, clean))
+            times.append(time.perf_counter() - t0)
+        per_step = min(times) / 4
 
     x_rt = audio_sec / per_step
     print(f"window={window}")
