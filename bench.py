@@ -12,6 +12,9 @@ Configs (BASELINE.json "configs"):
                     (concurrent streams through the per-hop scan path)
   4 dfsmn_stream    DFSMN memory-block variant, frame-by-frame low-latency
   5 mtfaa_train     MTFAA full-band model end-to-end training
+  + mtfaa_train_windowed  same step with the block-local windowed ASA
+                    (w=126 ~ 2 s context) -- the deployable low-latency
+                    MTFAA training configuration (round-3 addition)
 
 Methodology: the host<->device tunnel costs ~1s per call, so each workload
 runs ITERS passes on-device inside one `lax.fori_loop` (the output feeds the

@@ -14,6 +14,7 @@ chip never waits on scoring.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -45,6 +46,39 @@ def _is_complex_model(model) -> bool:
     from cruse_tpu.models.bsrnn import BSRNN
 
     return isinstance(model, (MtfaaNet, BSRNN))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_train_step(model, step_config: StepConfig):
+    """Process-wide cache: the jitted train step for a (model, StepConfig)
+    pair. Both are frozen dataclasses, so equal configs hash equal; two
+    Trainer instances over the same model/config (common in tests, harmless
+    in production -- the step is a pure function of its key) share one
+    traced+compiled executable instead of re-tracing (~10-40 s each on a
+    1-core host)."""
+    return jax.jit(
+        make_train_step(model, step_config, forward=forward_for_model(model)),
+        donate_argnums=0,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_enhance(model, scfg):
+    """Process-wide cache for the validation enhancement function."""
+
+    def enhance_fn(params, batch_stats, noisy):
+        if noisy.ndim == 3:
+            from cruse_tpu.dsp.stft import mc_stft
+
+            spec = mc_stft(noisy, scfg)
+        else:
+            spec = stft(noisy, scfg)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        enhanced_ri, _ = forward_for_model(model)(params, batch_stats, ri, train=False)
+        return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), scfg,
+                     length=noisy.shape[-1])
+
+    return jax.jit(enhance_fn)
 
 
 @dataclasses.dataclass
@@ -119,11 +153,15 @@ class Trainer:
             self.state = self._place_on_mesh(self.state)
             log(f"SPMD mesh: {dict(self.mesh.shape)}")
 
-        self._train_step = jax.jit(
-            make_train_step(model, step_config, forward=forward_for_model(model)),
-            donate_argnums=0,
-        )
-        self._enhance = jax.jit(self._enhance_fn)
+        try:
+            self._train_step = _jitted_train_step(model, step_config)
+            self._enhance = _jitted_enhance(model, self.scfg)
+        except TypeError:  # unhashable model config (e.g. a dict field)
+            self._train_step = jax.jit(
+                make_train_step(model, step_config, forward=forward_for_model(model)),
+                donate_argnums=0,
+            )
+            self._enhance = jax.jit(self._enhance_fn)
         self._adv = None
         if trainer_config.adversarial:
             assert mesh is None, "adversarial training does not support a mesh yet"

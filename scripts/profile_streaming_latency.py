@@ -4,6 +4,22 @@ loop prototype (jitted fori_loop + ordered io_callback in/out) that keeps ONE
 dispatch alive for a whole session so the per-hop cost is the callback
 round-trip instead of a fresh dispatch (round-2 VERDICT item 6).
 
+MEASURED (2026-08-17, v5e via the axon tunnel, 300 hops):
+  step k=1   p50 33.9-41.1 ms/hop   p99 ~68 ms   RTF 3.8-4.5
+  step k=2   p50 16.6-19.5          RTF 2.2      (+10 ms latency)
+  step k=4   p50  9.9-11.4          RTF 1.3      (+30 ms latency)
+  persistent loop: NEGATIVE RESULT on this runtime -- jax.experimental
+  .io_callback never completes through the axon tunnel (a minimal 3-iter
+  fori_loop+ordered-io_callback jit hangs >240 s), so a device-resident
+  loop cannot source host audio here. On runtimes with working host
+  callbacks the prototype below is the intended shape.
+
+These numbers are TUNNEL-dominated (host<->device RTT ~10-20 ms today;
+round 2 measured 2.3 ms/call on a quieter day): per-hop cost scales with
+dispatch RTT, not chip compute (~50 us of model math/hop). k-hop batching
+(StreamingEnhancer.step_multi) remains the available amortization:
+k=4 cuts p50 per-hop cost 3.4x for +30 ms algorithmic latency.
+
 Prints a table for STATUS.md. Run on the chip: python scripts/profile_streaming_latency.py
 """
 import os
@@ -95,10 +111,11 @@ def measure_persistent(enh, n_hops=N_HOPS):
 
     t = threading.Thread(target=run)
     t.start()
-    # warmup hops (compile happens on first)
+    # warmup hops (the first get waits out the fori_loop+callback compile,
+    # which takes minutes on this 1-core host)
     for i in range(20):
         inq.put(rng.standard_normal((1, HOP)).astype(np.float32) * 0.1)
-        outq.get(timeout=300)
+        outq.get(timeout=540 if i == 0 else 60)
     for i in range(n_hops - 20):
         x = rng.standard_normal((1, HOP)).astype(np.float32) * 0.1
         t0 = time.perf_counter()
