@@ -306,7 +306,7 @@ def main():
                 "metric": "audio_sec_enhanced_per_sec_per_chip",
                 "value": flag["value"],
                 "unit": f"x realtime @16kHz (CRUSE/{DTYPE} + STFT/iSTFT, B={BATCH}); "
-                        "'configs' = all five BASELINE configs",
+                        "'configs' = all five BASELINE configs + windowed-ASA MTFAA",
                 "vs_baseline": flag["vs_baseline"],
                 "configs": results,
                 "min_vs_baseline": round(min(r["vs_baseline"] for r in results.values()), 3),

@@ -54,10 +54,14 @@ def _time3(loop, *args):
 
 
 def measure_train(name, mcfg, loss_weights=(("si_snr", 1.0), ("spec", 1.0)),
-                  remat=None):
+                  remat=None, b=B, seconds=SECONDS):
     scfg = StftConfig(n_fft=512, hop_length=256)
     model = MtfaaNet(mcfg)
-    noisy, clean = _data()
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.standard_normal((b, seconds * SR)).astype(np.float32) * 0.05)
+    noisy = clean + jnp.asarray(
+        rng.standard_normal((b, seconds * SR)).astype(np.float32) * 0.05
+    )
     spec = stft(noisy, scfg)
     feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
     cfg = StepConfig(stft=scfg, compute_dtype="bfloat16", loss_weights=loss_weights,
@@ -75,7 +79,7 @@ def measure_train(name, mcfg, loss_weights=(("si_snr", 1.0), ("spec", 1.0)),
         return acc
 
     dt = _time3(loop, noisy, clean, state)
-    print(f"{name:44s} {B * SECONDS * ITERS / dt:10.0f}x RT  ({dt / ITERS * 1e3:7.1f} ms/step)",
+    print(f"{name:44s} {b * seconds * ITERS / dt:10.0f}x RT  ({dt / ITERS * 1e3:7.1f} ms/step)",
           flush=True)
 
 
@@ -138,3 +142,19 @@ if __name__ == "__main__":
                 measure_train(v[0], v[1], remat=v[3])
             else:
                 measure_train(v[0], v[1])
+    elif which.startswith("crop"):
+        # crop-length sweep: same total audio per step (160 s), shorter
+        # crops (the reference trains on ~3 s crops) -> full-causal
+        # attention cost per audio-second scales with T
+        i = int(which.split(":", 1)[1]) if ":" in which else None
+        crops = [
+            ("train full causal, B=32 x 5s", MtfaaConfig(asa_impl="xla"), 32, 5),
+            ("train full causal, B=53 x 3s", MtfaaConfig(asa_impl="xla"), 53, 3),
+            ("train w=126, B=32 x 5s",
+             MtfaaConfig(asa_impl="xla", attention_window=126), 32, 5),
+            ("train w=126, B=53 x 3s",
+             MtfaaConfig(asa_impl="xla", attention_window=126), 53, 3),
+        ]
+        for j, (name, mcfg, b, sec) in enumerate(crops):
+            if i is None or i == j:
+                measure_train(name, mcfg, b=b, seconds=sec)
