@@ -54,6 +54,12 @@ class SynMixConfig:
     mc_room_t60: tuple = (0.2, 0.6)
     mc_room_max_order: int = 1
     mc_mic_spacing: float = 0.05
+    # array geometry for the room path: "linear" (x-axis, mc_mic_spacing),
+    # "circular" (mc_array_radius, xy-plane), or "custom" (mc_mic_positions
+    # = [[x, y, z], ...] offsets from the array center in meters)
+    mc_array_geometry: str = "linear"
+    mc_array_radius: float = 0.05
+    mc_mic_positions: tuple = ()
     seed: int = 0
     valid_mode: bool = False
     use_native_io: bool = True  # threaded C++ decode/resample/crop when built
@@ -99,7 +105,11 @@ class SynMixDataset:
 
                 room = RoomConfig(sr=c.sr, t60=tuple(c.mc_room_t60),
                                   max_order=int(c.mc_room_max_order),
-                                  mic_spacing=c.mc_mic_spacing)
+                                  mic_spacing=c.mc_mic_spacing,
+                                  array_geometry=c.mc_array_geometry,
+                                  array_radius=c.mc_array_radius,
+                                  mic_positions=tuple(
+                                      tuple(p) for p in c.mc_mic_positions))
                 self._mc_mix = jax.jit(
                     lambda k, cl, n: mix_batch_mc_room(k, cl, n, self.mixer_cfg,
                                                        room, c.num_mics)

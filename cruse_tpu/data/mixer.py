@@ -227,9 +227,35 @@ class RoomConfig:
     t60: tuple = (0.2, 0.6)
     max_order: int = 1  # images per axis: 2*(2*order+1); order 1 -> 216 total
     mic_spacing: float = 0.05  # linear array along x, centered in the room
+    array_geometry: str = "linear"  # "linear" | "circular" | "custom"
+    array_radius: float = 0.05  # circular array radius (xy-plane), meters
+    mic_positions: tuple = ()  # custom: ((x, y, z), ...) offsets from the
+    # array center, meters; length must equal num_mics
     rir_seconds: float = 0.4
     late_tail: bool = True
     c: float = 343.0
+
+
+def _array_offsets(num_mics: int, room: RoomConfig) -> jnp.ndarray:
+    """Mic offsets [M, 3] from the array center for the configured geometry.
+    Linear: along x at `mic_spacing`. Circular: evenly spaced on a circle of
+    `array_radius` in the xy-plane (mic 0 at azimuth 0). Custom: the literal
+    `mic_positions` table."""
+    if room.array_geometry == "linear":
+        offs = (jnp.arange(num_mics) - (num_mics - 1) / 2.0) * room.mic_spacing
+        return jnp.stack([offs, jnp.zeros_like(offs), jnp.zeros_like(offs)], axis=-1)
+    if room.array_geometry == "circular":
+        az = 2.0 * jnp.pi * jnp.arange(num_mics) / num_mics
+        return jnp.stack(
+            [room.array_radius * jnp.cos(az), room.array_radius * jnp.sin(az),
+             jnp.zeros_like(az)], axis=-1)
+    if room.array_geometry == "custom":
+        pos = jnp.asarray(room.mic_positions, jnp.float32)
+        assert pos.shape == (num_mics, 3), (
+            f"mic_positions must be [{num_mics}, 3] (x, y, z) offsets, got "
+            f"{pos.shape}")
+        return pos
+    raise ValueError(f"unknown array_geometry {room.array_geometry!r}")
 
 
 def _sample_shoebox(key, num_mics: int, room: RoomConfig):
@@ -241,12 +267,9 @@ def _sample_shoebox(key, num_mics: int, room: RoomConfig):
     dims = jax.random.uniform(kl, (3,), minval=lo, maxval=hi)
     # source somewhere in the room interior (0.5 m off the walls)
     src = jax.random.uniform(ks, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
-    # linear array along x at a random interior point
+    # the configured array geometry at a random interior point
     center = jax.random.uniform(ka, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
-    offs = (jnp.arange(num_mics) - (num_mics - 1) / 2.0) * room.mic_spacing
-    mics = center[None, :] + jnp.stack(
-        [offs, jnp.zeros_like(offs), jnp.zeros_like(offs)], axis=-1
-    )
+    mics = center[None, :] + _array_offsets(num_mics, room)
     t60 = jax.random.uniform(kt, (), minval=room.t60[0], maxval=room.t60[1])
     # Sabine -> uniform wall energy absorption -> reflection coefficient
     vol = jnp.prod(dims)

@@ -57,6 +57,25 @@ class StreamingServer:
         self._active[sid] = False
         self._buffers.pop(sid, None)
 
+    def drain(self, sid: int) -> np.ndarray:
+        """Flush a session's remaining buffered input: zero-pad the final
+        partial hop, run the needed steps, and return the enhanced samples
+        for exactly the input that was still buffered (so feed+drain yields
+        output the same length as the input, modulo the stream's inherent
+        one-frame assembly delay). The session stays open."""
+        assert self._active[sid], f"stream {sid} is not open"
+        pending = len(self._buffers[sid])
+        if pending == 0:
+            return np.zeros(0, np.float32)
+        pad = (-pending) % self.hop
+        if pad:
+            self.feed(sid, np.zeros(pad, np.float32))
+        outs = []
+        while self.ready(sid):
+            res = self.step(only=(sid,))  # other sessions' hops stay queued
+            outs.append(res[sid])
+        return np.concatenate(outs)[:pending]
+
     def feed(self, sid: int, samples: np.ndarray) -> None:
         assert self._active[sid], f"stream {sid} is not open"
         self._buffers[sid] = np.concatenate(
@@ -77,13 +96,17 @@ class StreamingServer:
         new_state = jax.tree_util.tree_map(keep, new_state, state)
         return out, new_state
 
-    def step(self) -> Dict[int, np.ndarray]:
+    def step(self, only=None) -> Dict[int, np.ndarray]:
         """One hop for every session with >= hop buffered samples. Returns
         {sid: enhanced hop}. Sessions without enough input are skipped (their
-        slots process zeros but neither consume input nor advance state)."""
+        slots process zeros but neither consume input nor advance state).
+        `only` restricts the step to a subset of session ids (used by
+        `drain` so flushing one session leaves the others' queues alone)."""
         hops = np.zeros((self.max_streams, self.hop), np.float32)
         stepped: List[int] = []
         for sid, buf in self._buffers.items():
+            if only is not None and sid not in only:
+                continue
             if len(buf) >= self.hop:
                 hops[sid] = buf[: self.hop]
                 self._buffers[sid] = buf[self.hop :]
@@ -95,6 +118,10 @@ class StreamingServer:
         out, self._state = self._step(self._state, jnp.asarray(hops), jnp.asarray(active))
         out_np = np.asarray(out)
         return {sid: out_np[sid] for sid in stepped}
+
+    def ready_sessions(self) -> List[int]:
+        """Session ids with at least one full hop buffered."""
+        return [sid for sid, buf in self._buffers.items() if len(buf) >= self.hop]
 
     def run_session(self, wav: np.ndarray, sid: Optional[int] = None) -> np.ndarray:
         """Convenience: push one utterance through a (new) session and return
@@ -111,3 +138,86 @@ class StreamingServer:
         if own:
             self.close(sid)
         return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+
+
+class MultiModelServer:
+    """Serve several enhancement models concurrently with priority-aware
+    dispatch.
+
+    Each registered model owns a StreamingServer pool (one compiled batched
+    per-hop program); a session is opened against a model name and carries a
+    priority. `step()` dispatches the pools that have ready work in urgency
+    order -- most-urgent ready session first, ties broken least-recently-
+    served -- and `max_dispatches` bounds how many compiled programs run per
+    call, so under load the high-priority sessions keep their hop cadence
+    while best-effort sessions absorb the backlog. (The reference's
+    inferencer is offline batch with a single model,
+    base_inferencer.py:164-196; per-session model selection and priority
+    dispatch are serving-layer features the TPU rebuild adds.)
+    """
+
+    def __init__(self):
+        self._pools: Dict[str, StreamingServer] = {}
+        self._priority: Dict[tuple, int] = {}  # (model_name, sid) -> priority
+        self._last_served: Dict[str, int] = {}
+        self._clock = 0
+
+    def add_model(self, name: str, model, variables, cfg: StftConfig,
+                  max_streams: int = 16) -> None:
+        assert name not in self._pools, f"model {name!r} already registered"
+        self._pools[name] = StreamingServer(model, variables, cfg, max_streams)
+        self._last_served[name] = 0
+
+    @property
+    def models(self) -> List[str]:
+        return list(self._pools)
+
+    def open(self, model_name: str, priority: int = 0):
+        """Claim a session slot on `model_name`'s pool. Higher priority is
+        served first when dispatches are rationed. Returns an opaque handle."""
+        sid = self._pools[model_name].open()
+        handle = (model_name, sid)
+        self._priority[handle] = priority
+        return handle
+
+    def close(self, handle) -> None:
+        name, sid = handle
+        self._pools[name].close(sid)
+        self._priority.pop(handle, None)
+
+    def feed(self, handle, samples: np.ndarray) -> None:
+        name, sid = handle
+        self._pools[name].feed(sid, samples)
+
+    def ready(self, handle) -> bool:
+        name, sid = handle
+        return self._pools[name].ready(sid)
+
+    def drain(self, handle) -> np.ndarray:
+        name, sid = handle
+        return self._pools[name].drain(sid)
+
+    def _urgency(self, name: str):
+        ready = self._pools[name].ready_sessions()
+        if not ready:
+            return None
+        return max(self._priority.get((name, sid), 0) for sid in ready)
+
+    def step(self, max_dispatches: Optional[int] = None) -> Dict[tuple, np.ndarray]:
+        """Run the batched hop for up to `max_dispatches` pools with ready
+        sessions (all of them when None), most urgent first. Returns
+        {handle: enhanced hop} across every pool stepped this call."""
+        self._clock += 1
+        ranked = sorted(
+            ((u, name) for name in self._pools
+             if (u := self._urgency(name)) is not None),
+            key=lambda t: (-t[0], self._last_served[t[1]]),
+        )
+        if max_dispatches is not None:
+            ranked = ranked[:max_dispatches]
+        out: Dict[tuple, np.ndarray] = {}
+        for _, name in ranked:
+            self._last_served[name] = self._clock
+            for sid, hop in self._pools[name].step().items():
+                out[(name, sid)] = hop
+        return out

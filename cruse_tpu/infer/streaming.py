@@ -33,6 +33,14 @@ class StreamState(NamedTuple):
     model_state: Any
 
 
+try:  # the per-hop step is exportable (tools/export.py --streaming)
+    jax.export.register_namedtuple_serialization(
+        StreamState, serialized_name="cruse_tpu.infer.streaming.StreamState"
+    )
+except AttributeError:  # older jax without namedtuple serialization
+    pass
+
+
 def _steady_envelope(cfg: StftConfig) -> np.ndarray:
     """Steady-state OLA of the squared window, periodic over one hop."""
     w2 = _padded_window(cfg) ** 2

@@ -253,3 +253,60 @@ def test_syn_dataset_mc_room_batches(tmp_path, rng):
     assert batch["noisy"].shape == (2, 3, 8000)
     assert batch["clean"].shape == (2, 8000)
     assert bool(np.isfinite(np.asarray(batch["noisy"])).all())
+
+
+def test_room_array_geometries():
+    """Array geometries: custom positions matching the linear layout
+    reproduce the linear output exactly; a circular array differs; the
+    direct-path TDOA between two well-separated custom mics stays within
+    the physical bound |d|/c."""
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.data.mixer import (MixerConfig, RoomConfig, _array_offsets,
+                                      mix_single_mc_room)
+
+    rng = np.random.default_rng(1)
+    clean = jnp.asarray(rng.standard_normal(8000).astype(np.float32) * 0.1)
+    noise = jnp.asarray(rng.standard_normal(8000).astype(np.float32) * 0.1)
+    cfg = MixerConfig(snr_range=(20, 25))
+    key = jax.random.PRNGKey(7)
+
+    linear = RoomConfig()
+    spacing = linear.mic_spacing
+    same_as_linear = RoomConfig(
+        array_geometry="custom",
+        mic_positions=tuple((float((m - 1.5) * spacing), 0.0, 0.0) for m in range(4)),
+    )
+    circular = RoomConfig(array_geometry="circular", array_radius=0.1)
+
+    out_lin, tgt_lin = mix_single_mc_room(key, clean, noise, cfg, linear, 4)
+    out_cus, tgt_cus = mix_single_mc_room(key, clean, noise, cfg, same_as_linear, 4)
+    np.testing.assert_allclose(np.asarray(out_lin), np.asarray(out_cus), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tgt_lin), np.asarray(tgt_cus), atol=1e-6)
+
+    out_cir, _ = mix_single_mc_room(key, clean, noise, cfg, circular, 4)
+    assert out_cir.shape == (4, 8000)
+    assert not np.allclose(np.asarray(out_lin), np.asarray(out_cir), atol=1e-3)
+    # circular offsets live on the configured circle
+    offs = np.asarray(_array_offsets(6, circular))
+    np.testing.assert_allclose(np.linalg.norm(offs[:, :2], axis=-1), 0.1, atol=1e-6)
+    assert np.all(offs[:, 2] == 0)
+
+    # physical TDOA bound: mics 0.5 m apart -> |lag| <= 0.5/343*16000 ~ 23.3
+    # samples on the direct path (strongest cross-correlation peak)
+    wide = RoomConfig(
+        array_geometry="custom",
+        mic_positions=((0.0, -0.25, 0.0), (0.0, 0.25, 0.0)),
+        late_tail=False, t60=(0.2, 0.25),
+    )
+    out2, _ = mix_single_mc_room(jax.random.PRNGKey(11), clean, noise, cfg, wide, 2)
+    a, b = np.asarray(out2[0]), np.asarray(out2[1])
+    xc = np.correlate(a, b, "full")
+    lag = np.argmax(np.abs(xc)) - (len(a) - 1)
+    assert abs(lag) <= 30, lag
+
+    with pytest.raises(AssertionError):
+        _array_offsets(3, wide)  # 2 custom positions cannot serve 3 mics
+    with pytest.raises(ValueError):
+        _array_offsets(2, RoomConfig(array_geometry="spiral"))

@@ -68,3 +68,30 @@ def test_gru_module_export(rng):
     exported = jexport.export(fn)(x)
     out = np.asarray(jexport.deserialize(exported.serialize()).call(x))
     np.testing.assert_allclose(out, np.asarray(fn(x)), atol=1e-6)
+
+
+def test_streaming_step_export(rng):
+    """The per-hop streaming step exports with its carried state pytree and
+    reproduces the live step exactly after a serialize/deserialize round
+    trip (tools/export.py --streaming path)."""
+    from jax import export as jexport
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+
+    scfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(4, 8, 8, 16), rnn_groups=4))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 161)))
+    enh = StreamingEnhancer(model, variables, scfg)
+
+    state = enh.init_state(1)
+    hop = jnp.asarray(rng.standard_normal((1, 160)).astype(np.float32) * 0.1)
+    exported = jexport.export(jax.jit(enh._step_impl))(state, hop)
+    reloaded = jexport.deserialize(exported.serialize())
+
+    out_live, state_live = enh.step(state, hop)
+    out_exp, state_exp = reloaded.call(state, hop)
+    np.testing.assert_allclose(np.asarray(out_exp), np.asarray(out_live), atol=1e-6)
+    # carried state advances identically -> a second hop matches too
+    hop2 = jnp.asarray(rng.standard_normal((1, 160)).astype(np.float32) * 0.1)
+    out2_live, _ = enh.step(state_live, hop2)
+    out2_exp, _ = reloaded.call(state_exp, hop2)
+    np.testing.assert_allclose(np.asarray(out2_exp), np.asarray(out2_live), atol=1e-6)

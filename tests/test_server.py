@@ -87,3 +87,89 @@ def test_capacity_and_errors(setup, rng):
     with pytest.raises(AssertionError):
         server.feed(s2, np.zeros(160))  # closed session rejects input
     assert server.step() == {}  # nothing buffered -> no work
+
+
+def test_drain_flushes_partial_input(setup, rng):
+    """drain() returns enhanced samples for exactly the pending input (final
+    hop zero-padded), leaves other sessions' queues untouched, and matches
+    the single-stream result on the zero-padded signal."""
+    model, variables, cfg = setup
+    hop = cfg.hop_length
+    server = StreamingServer(model, variables, cfg, max_streams=4)
+    wav = rng.standard_normal(2 * hop + 37).astype(np.float32) * 0.1
+
+    a = server.open()
+    b = server.open()
+    server.feed(a, wav)
+    server.feed(b, np.ones(3 * hop, np.float32) * 0.05)
+    got = server.drain(a)
+    assert got.shape == (len(wav),)
+    # b's queue is untouched by a's drain
+    assert len(server._buffers[b]) == 3 * hop
+    assert server.drain(a).shape == (0,)  # nothing pending now
+
+    # reference: hop-by-hop single stream on the zero-padded signal
+    enh = StreamingEnhancer(model, variables, cfg)
+    state = enh.init_state(1)
+    padded = np.concatenate([wav, np.zeros((-len(wav)) % hop, np.float32)])
+    ref = []
+    for t in range(len(padded) // hop):
+        out, state = enh.step(state, jnp.asarray(padded[None, t * hop : (t + 1) * hop]))
+        ref.append(np.asarray(out)[0])
+    np.testing.assert_allclose(got, np.concatenate(ref)[: len(wav)], atol=1e-6)
+
+
+def test_multi_model_priority_dispatch(setup, rng):
+    """MultiModelServer: per-session model selection, strict priority when
+    dispatches are rationed, round-robin fairness on ties, and outputs
+    bit-identical to each pool's own single-stream run."""
+    from cruse_tpu.infer.server import MultiModelServer
+    from cruse_tpu.models import CruseNet, CruseConfig
+
+    model_a, variables_a, cfg = setup
+    model_b = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=2))
+    variables_b = model_b.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 161)))
+    hop = cfg.hop_length
+
+    srv = MultiModelServer()
+    srv.add_model("big", model_a, variables_a, cfg, max_streams=2)
+    srv.add_model("small", model_b, variables_b, cfg, max_streams=2)
+    assert srv.models == ["big", "small"]
+
+    wav = rng.standard_normal(2 * hop).astype(np.float32) * 0.1
+    low = srv.open("big", priority=0)
+    high = srv.open("small", priority=5)
+    srv.feed(low, wav)
+    srv.feed(high, wav[:hop])
+
+    # rationed to one dispatch: the high-priority session's pool goes first
+    out1 = srv.step(max_dispatches=1)
+    assert set(out1) == {high}
+    out2 = srv.step(max_dispatches=1)  # high has no more input -> low's turn
+    assert set(out2) == {low}
+
+    # equal priorities round-robin via least-recently-served
+    srv.close(low); srv.close(high)
+    s1 = srv.open("big", priority=1)
+    s2 = srv.open("small", priority=1)
+    srv.feed(s1, wav)
+    srv.feed(s2, wav)
+    first = srv.step(max_dispatches=1)
+    second = srv.step(max_dispatches=1)
+    assert {next(iter(first))[0], next(iter(second))[0]} == {"big", "small"}
+
+    # unrationed step serves everything ready, and outputs match the pool's
+    # own single-stream result
+    srv.close(s1); srv.close(s2)
+    sa = srv.open("big")
+    sb = srv.open("small")
+    srv.feed(sa, wav)
+    srv.feed(sb, wav)
+    outs = {sa: [], sb: []}
+    while srv.ready(sa) or srv.ready(sb):
+        for h, hop_out in srv.step().items():
+            outs[h].append(hop_out)
+    ref_a = StreamingServer(model_a, variables_a, cfg, max_streams=1).run_session(wav)
+    ref_b = StreamingServer(model_b, variables_b, cfg, max_streams=1).run_session(wav)
+    np.testing.assert_allclose(np.concatenate(outs[sa]), ref_a, atol=1e-6)
+    np.testing.assert_allclose(np.concatenate(outs[sb]), ref_b, atol=1e-6)

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("-O", "--output", required=True, help="output .jaxexport blob")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--seconds", type=float, default=10.0)
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="export the per-hop streaming step (state, hop) -> (out, state) "
+             "instead of the offline batch graph")
     args = parser.parse_args()
 
     import numpy as np
@@ -42,6 +46,35 @@ def main():
     sr = int(ac.get("sr", 16000))
     model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
     model = build_from_config(model_cfg)
+
+    if args.streaming:
+        # real-time deployment artifact: the jitted per-hop step with the
+        # carried stream state as an explicit pytree argument (the TPU
+        # analogue of the reference exporting jit.trace'd streaming modules,
+        # test/test_model.py:348-360)
+        from cruse_tpu.infer.streaming import StreamingEnhancer
+
+        stream_cfg = StftConfig(n_fft=scfg.n_fft, hop_length=scfg.hop_length,
+                                center=False)
+        feat_len = 8 * scfg.hop_length + scfg.n_fft
+        ex_feat = stft(jnp.zeros((1, feat_len)), stream_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), features_for_model(model, ex_feat))
+        variables = preload_variables(args.model_checkpoint_path, variables)
+        enhancer = StreamingEnhancer(model, variables, stream_cfg)
+        state = enhancer.init_state(args.batch)
+        hop = jnp.zeros((args.batch, stream_cfg.hop_length), jnp.float32)
+        exported = jexport.export(jax.jit(enhancer._step_impl))(state, hop)
+        blob = exported.serialize()
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        log(f"exported {len(blob)/1e6:.2f} MB streaming step "
+            f"(B={args.batch}, hop={stream_cfg.hop_length}) -> {args.output}")
+        reloaded = jexport.deserialize(open(args.output, "rb").read())
+        out, new_state = reloaded.call(state, hop)
+        assert out.shape == hop.shape
+        log("reload check OK")
+        return
 
     length = int(args.seconds * sr)
     ex_spec = stft(jnp.zeros((args.batch, length)), scfg)
