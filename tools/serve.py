@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Serving CLI: run many concurrent enhancement sessions -- optionally over
+several models -- through the MultiModelServer priority scheduler.
+
+Each `-M name=config.toml:checkpoint` registers a model (its own compiled
+batched per-hop program); each `-I path[@model[:priority]]` enqueues wav
+sessions against a model. Sessions are admitted as slots free up, fed
+chunk-by-chunk, stepped under an optional per-iteration dispatch budget
+(priority decides who keeps cadence under load), drained at end-of-stream,
+and written to the output dir. The reference's inferencer is offline batch
+only (base_inferencer.py:164-196); this is the online serving front end of
+the same checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_model(config_path: str, ckpt: str):
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import build_from_config, features_for_model
+    from cruse_tpu.train.checkpoint import preload_variables
+    from cruse_tpu.utils.config import load_config, initialize_module
+
+    config = load_config(config_path)
+    ac = config["acoustics"]
+    model_cfg = initialize_module(config["model"]["path"], config["model"].get("args"))
+    model = build_from_config(model_cfg)
+    ex_spec = stft(jnp.zeros((1, 8 * int(ac["hop_length"]))),
+                   StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])))
+    variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
+    variables = preload_variables(ckpt, variables)
+    scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]),
+                      center=False)
+    return model, variables, scfg, int(ac.get("sr", 16000))
+
+
+def _expand_inputs(spec: str, default_model: str):
+    """`path[@model[:priority]]` -> (wav file list, model, priority)."""
+    from cruse_tpu.data.manifest import load_manifest
+
+    model, priority = default_model, 0
+    path = spec
+    if "@" in spec:
+        path, tail = spec.rsplit("@", 1)
+        if ":" in tail:
+            model, prio = tail.split(":", 1)
+            priority = int(prio)
+        else:
+            model = tail
+    p = Path(path)
+    if p.is_dir():
+        files = sorted(str(f) for f in p.glob("*.wav"))
+    elif p.suffix == ".txt":
+        files = load_manifest(str(p))
+    else:
+        files = [str(p)]
+    assert files, f"no wavs under {path}"
+    return files, model, priority
+
+
+def main():
+    parser = argparse.ArgumentParser(description="cruse_tpu streaming server")
+    parser.add_argument("-M", "--model", action="append", required=True,
+                        metavar="NAME=CONFIG:CKPT",
+                        help="register a model (repeatable)")
+    parser.add_argument("-I", "--input", action="append", required=True,
+                        metavar="PATH[@MODEL[:PRIORITY]]",
+                        help="wav file/dir/manifest of sessions (repeatable)")
+    parser.add_argument("-O", "--output_dir", required=True)
+    parser.add_argument("--max_streams", type=int, default=8,
+                        help="slots per model pool (sessions beyond this queue)")
+    parser.add_argument("--max_dispatches", type=int, default=0,
+                        help="device dispatches per scheduler iteration "
+                             "(0 = unbounded; >0 rations by priority)")
+    parser.add_argument("--feed_chunk", type=int, default=1,
+                        help="hops of input fed per session per iteration "
+                             "(>1 simulates bursty arrivals; the backlog "
+                             "drains at one hop per iteration)")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from cruse_tpu.data.wavio import read_wav, write_wav, to_int16_scaled
+    from cruse_tpu.infer.server import MultiModelServer
+    from cruse_tpu.utils.logger import log
+
+    server = MultiModelServer()
+    hops, srs = {}, {}
+    for spec in args.model:
+        name, rest = spec.split("=", 1)
+        config_path, ckpt = rest.rsplit(":", 1)
+        model, variables, scfg, sr = _build_model(config_path, ckpt)
+        server.add_model(name, model, variables, scfg, max_streams=args.max_streams)
+        hops[name], srs[name] = scfg.hop_length, sr
+        log(f"registered model {name!r} (hop {scfg.hop_length}, {sr} Hz)")
+
+    default_model = args.model[0].split("=", 1)[0]
+    queue = []  # (wav_path, model, priority)
+    for spec in args.input:
+        files, model_name, priority = _expand_inputs(spec, default_model)
+        assert model_name in server.models, f"unknown model {model_name!r}"
+        queue.extend((f, model_name, priority) for f in files)
+    log(f"{len(queue)} sessions queued over {len(server.models)} model(s)")
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    live = {}  # handle -> session record
+    total_hops = 0
+    t0 = time.perf_counter()
+
+    def admit():
+        while queue:
+            path, model_name, priority = queue[0]
+            try:
+                handle = server.open(model_name, priority=priority)
+            except RuntimeError:
+                return  # pool full; wait for a drain
+            queue.pop(0)
+            wav, _ = read_wav(path, sr=srs[model_name])
+            live[handle] = {"name": Path(path).stem, "model": model_name,
+                            "wav": wav.astype(np.float32), "pos": 0,
+                            "outs": [], "t": time.perf_counter(),
+                            "priority": priority}
+
+    admit()
+    while live or queue:
+        # feed every live session its next chunk of input
+        for handle, s in list(live.items()):
+            chunk = args.feed_chunk * hops[s["model"]]
+            nxt = s["wav"][s["pos"] : s["pos"] + chunk]
+            if len(nxt):
+                server.feed(handle, nxt)
+                s["pos"] += len(nxt)
+        # one scheduler iteration
+        budget = args.max_dispatches if args.max_dispatches > 0 else None
+        for handle, hop_out in server.step(max_dispatches=budget).items():
+            live[handle]["outs"].append(hop_out)
+            total_hops += 1
+        # retire exhausted sessions: drain, write, free the slot
+        for handle, s in list(live.items()):
+            if s["pos"] >= len(s["wav"]) and not server.ready(handle):
+                tail = server.drain(handle)
+                if len(tail):
+                    s["outs"].append(tail)
+                server.close(handle)
+                out = (np.concatenate(s["outs"])
+                       if s["outs"] else np.zeros(0, np.float32))
+                dt = time.perf_counter() - s["t"]
+                audio = len(s["wav"]) / srs[s["model"]]
+                write_wav(str(out_dir / f"{s['name']}.wav"),
+                          to_int16_scaled(out), srs[s["model"]])
+                log(f"  {s['name']} ({s['model']}, prio {s['priority']}): "
+                    f"{audio:.2f}s audio in {dt:.2f}s wall "
+                    f"(session rtf {dt / max(audio, 1e-9):.3f})")
+                del live[handle]
+        admit()
+
+    wall = time.perf_counter() - t0
+    log(f"served {total_hops} hops in {wall:.2f}s "
+        f"({total_hops * hops[default_model] / srs[default_model] / max(wall, 1e-9):.1f}x "
+        f"realtime aggregate)")
+
+
+if __name__ == "__main__":
+    main()
