@@ -29,6 +29,15 @@ class CruseDfConfig:
     df_taps_f: int = 1
 
     def __post_init__(self):
+        # TOML/reflection path: [model.args.cruse] arrives as a plain dict;
+        # coerce it so the one CLI can express the nested trunk config
+        if isinstance(self.cruse, dict):
+            args = dict(self.cruse)
+            if "channels" in args:
+                args["channels"] = tuple(args["channels"])
+            if "kernel" in args:
+                args["kernel"] = tuple(args["kernel"])
+            object.__setattr__(self, "cruse", CruseConfig(**args))
         if not self.cruse.emit_features:
             object.__setattr__(
                 self, "cruse", dataclasses.replace(self.cruse, emit_features=True)

@@ -99,6 +99,12 @@ class TrainerConfig:
     # dict with adv_weight, disc_lr, ndf, replay_capacity, pretrain_steps.
     # None = standard (non-adversarial) training.
     adversarial: Optional[dict] = None
+    # [trainer.profiling]: capture a jax.profiler device trace over a window
+    # of train steps -- dict with epoch (default 1), start_step (default 1,
+    # skipping the compile step), num_steps (default 3), trace_dir (default
+    # <logs_dir>/profile). The trace opens in TensorBoard's profile plugin.
+    # The reference had no profiler at all (SURVEY.md §5).
+    profiling: Optional[dict] = None
 
 
 class Trainer:
@@ -334,6 +340,15 @@ class Trainer:
 
     # ---- epochs ----
 
+    def _profile_window(self, epoch: int):
+        """(start, stop) step indices of the configured trace window for this
+        epoch, or None."""
+        prof = self.cfg.profiling
+        if not prof or epoch != int(prof.get("epoch", 1)):
+            return None
+        start = int(prof.get("start_step", 1))
+        return start, start + int(prof.get("num_steps", 3))
+
     def _train_epoch(self, epoch: int) -> None:
         assert self.train_batches is not None, "no training data configured"
         # callables are re-invoked per epoch (fresh iterator); plain iterables
@@ -341,9 +356,17 @@ class Trainer:
         batches = self.train_batches() if callable(self.train_batches) else self.train_batches
         running = {}
         count = 0
+        window = self._profile_window(epoch)
+        tracing = False
         for i, batch in enumerate(batches):
             if getattr(self, "_preempted", None) and self._preempted["flag"]:
                 break  # finish the epoch early; caller checkpoints
+            if window and i == window[0]:
+                trace_dir = str(self.cfg.profiling.get("trace_dir")
+                                or self.logs_dir / "profile")
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
+                log(f"profiler: tracing steps {window[0]}..{window[1] - 1} -> {trace_dir}")
             batch = self._put_batch({"noisy": batch["noisy"], "clean": batch["clean"]})
             if self._adv is not None:
                 from cruse_tpu.train.metricgan import metricgan_train_batch
@@ -358,8 +381,14 @@ class Trainer:
             count += 1
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
+            if tracing and i + 1 == window[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                tracing = False
             if i + 1 >= self.cfg.steps_per_epoch:
                 break
+        if tracing:  # window extended past the epoch's last step
+            jax.profiler.stop_trace()
         for k, v in running.items():
             mean = v / max(count, 1)
             if self.writer:

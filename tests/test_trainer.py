@@ -113,6 +113,27 @@ def test_preemption_checkpoint(tmp_path, rng):
     assert int(trainer2.state.step) == saved_epoch
 
 
+def test_profiling_window_writes_trace(tmp_path, rng):
+    """[trainer.profiling] captures a jax.profiler trace over the configured
+    step window (the reference has no profiler at all, SURVEY.md §5)."""
+    model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path, epochs=1)
+    trace_dir = tmp_path / "trace"
+    tcfg = TrainerConfig(**{**tcfg.__dict__,
+                            "profiling": {"epoch": 1, "start_step": 1,
+                                          "num_steps": 1,
+                                          "trace_dir": str(trace_dir)}})
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=[batch, batch],
+        validation_batches=[batch],
+        example_feat=feat,
+        writer=False,
+    )
+    trainer.train()
+    traces = list(trace_dir.rglob("*.xplane.pb"))
+    assert traces, f"no profiler trace written under {trace_dir}"
+
+
 def test_only_validation_mode(tmp_path, rng):
     model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path, epochs=1)
     tcfg.only_validation = True

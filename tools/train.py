@@ -140,6 +140,10 @@ def main():
         # [trainer.adversarial] switches the epoch loop to the full
         # MetricGAN+ alternation (replay + D pretraining + D checkpoints)
         adversarial=config.get("trainer", {}).get("adversarial"),
+        # [trainer.profiling] captures a jax.profiler trace over a window of
+        # train steps (epoch/start_step/num_steps/trace_dir), viewable in
+        # TensorBoard's profile plugin
+        profiling=config.get("trainer", {}).get("profiling"),
     )
 
     example = next(iter(train_ds.batches(num_batches=1)))
