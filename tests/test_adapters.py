@@ -1,5 +1,6 @@
 """Forward-adapter coverage: every zoo model trains and validates through
 the same Trainer machinery (regression tests for the adapter crashes)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,11 +33,13 @@ def _one_step(model, scfg, batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_bsrnn_trains_through_adapter(rng):
     scfg = StftConfig(n_fft=512, hop_length=256)
     _one_step(BSRNN(num_channel=8, num_layer=1), scfg, _batch(rng))
 
 
+@pytest.mark.slow
 def test_mtfaa_trains_through_adapter(rng):
     scfg = StftConfig(n_fft=512, hop_length=256)
     model = MtfaaNet(MtfaaConfig(n_fft=512, n_bands=32, channels=(4, 6, 8),

@@ -67,6 +67,7 @@ def test_bf16_runs_and_tracks_fp32():
     )
 
 
+@pytest.mark.slow
 def test_model_level_parity_full_and_windowed():
     """MtfaaNet forward with asa_impl=flash_interpret matches asa_impl=xla
     (whole network, both attention_window settings)."""

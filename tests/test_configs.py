@@ -21,7 +21,8 @@ from cruse_tpu.models.mc_cruse import McCruseNet
 from cruse_tpu.utils.config import load_config, initialize_module
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TINY_CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "tiny_*.toml")))
+ALL_CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*.toml")))
+TINY_CONFIGS = [p for p in ALL_CONFIGS if os.path.basename(p).startswith("tiny_")]
 
 
 def _model_and_feat(path, rng, seconds=0.35):
@@ -49,7 +50,7 @@ def test_tiny_configs_exist():
         assert family in names, f"missing CLI config {family}"
 
 
-@pytest.mark.parametrize("path", TINY_CONFIGS, ids=[os.path.basename(p) for p in TINY_CONFIGS])
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=[os.path.basename(p) for p in ALL_CONFIGS])
 def test_tiny_config_builds_and_runs(path, rng):
     model, feat, _ = _model_and_feat(path, rng)
     variables = model.init(jax.random.PRNGKey(0), feat)

@@ -1,5 +1,6 @@
 """FullSubNet sub-band ops: golden parity vs torch references
 (train_base/model/base_model.py:18-86 semantics) + the consumer model."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,7 @@ def test_fullsubnet_trains(rng):
     assert float(metrics["loss_si_snr"]) < first
 
 
+@pytest.mark.slow
 def test_fullsubnet_streaming_exact(rng):
     """With the cumulative norm, chunked calls (GRU + norm carries threaded)
     are bit-exact with one full-sequence call."""

@@ -1,4 +1,5 @@
 """MetricGAN alternating training: both nets update, scores drive D."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,7 @@ from cruse_tpu.train.metricgan import (
 from cruse_tpu.train.step import StepConfig
 
 
+@pytest.mark.slow
 def test_metricgan_alternation(rng):
     scfg = StftConfig(n_fft=320, hop_length=160)
     gen = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))

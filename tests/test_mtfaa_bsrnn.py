@@ -187,6 +187,7 @@ def test_mtfaa_streaming_matches_batch(rng):
     np.testing.assert_allclose(stream, np.asarray(full), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_mtfaa_train_step(rng):
     """Benchmark config 5: MTFAA end-to-end training step decreases loss."""
     from cruse_tpu.dsp.stft import StftConfig, stft

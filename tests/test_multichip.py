@@ -1,5 +1,6 @@
 """SPMD correctness: the sharded train step computes the same update as the
 single-device step (XLA collectives must be semantics-preserving)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def _setup(rng):
     return model, cfg, batch, state
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(rng):
     model, cfg, batch, state = _setup(rng)
     step = jax.jit(make_train_step(model, cfg))
@@ -134,6 +136,7 @@ def test_grouped_weights_actually_sharded(rng):
     assert conv_sh.spec == jax.sharding.PartitionSpec()  # replicated
 
 
+@pytest.mark.slow
 def test_trainer_on_mesh_with_ema_and_grad_accum(tmp_path, rng):
     """EMA weights and optax.MultiSteps accumulation compose with the mesh:
     the typed opt-state placer must keep MultiStepsState intact (a plain

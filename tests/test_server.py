@@ -119,6 +119,7 @@ def test_drain_flushes_partial_input(setup, rng):
     np.testing.assert_allclose(got, np.concatenate(ref)[: len(wav)], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_model_priority_dispatch(setup, rng):
     """MultiModelServer: per-session model selection, strict priority when
     dispatches are rationed, round-robin fairness on ties, and outputs

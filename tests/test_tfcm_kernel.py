@@ -7,6 +7,7 @@ experiment stays trustworthy: eval-mode BN folding, causal zero-padding
 of p1 across chunk boundaries (including chunks whose halo reaches before
 the sequence start), and the whole-stack validity-propagation halo.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ def test_fused_block_matches_xla_eval(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_stack_matches_xla_eval(rng):
     # T=19/tc=8 makes chunk 1's halo reach before the sequence start --
     # the global-position zero-mask case

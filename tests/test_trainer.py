@@ -113,6 +113,7 @@ def test_preemption_checkpoint(tmp_path, rng):
     assert int(trainer2.state.step) == saved_epoch
 
 
+@pytest.mark.slow
 def test_profiling_window_writes_trace(tmp_path, rng):
     """[trainer.profiling] captures a jax.profiler trace over the configured
     step window (the reference has no profiler at all, SURVEY.md §5)."""
