@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from cruse_tpu.dsp.stft import StftConfig, stft, istft, istft_mag_phase, mc_stft
-from cruse_tpu.dsp.mask import decompress_cirm, complex_mul
+from cruse_tpu.dsp.mask import (
+    decompress_cirm,
+    complex_mul,
+    envelope_postfilter,
+    postfilter_sin,
+)
 from cruse_tpu.data.wavio import write_wav, to_int16_scaled
 from cruse_tpu.utils.logger import log
 
@@ -30,6 +35,10 @@ class InferencerConfig:
     stft: StftConfig = StftConfig(n_fft=320, hop_length=160)
     output_dir: str = "enhanced"
     reference_channel: int = 0
+    # optional mask post-filter on magnitude-mask strategies ("sin" |
+    # "envelope", dsp/mask.py; the reference applied these in its listening
+    # experiments, utils/utils.py:345-362, but never exposed them)
+    postfilter: Optional[str] = None
 
 
 class BatchInferencer:
@@ -60,12 +69,21 @@ class BatchInferencer:
         return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), self.cfg.stft,
                      length=noisy.shape[-1])
 
+    def _postfilter(self, mask: jax.Array) -> jax.Array:
+        if self.cfg.postfilter is None:
+            return mask
+        if self.cfg.postfilter == "sin":
+            return postfilter_sin(mask)
+        if self.cfg.postfilter == "envelope":
+            return envelope_postfilter(mask)
+        raise ValueError(f"unknown postfilter {self.cfg.postfilter!r}")
+
     def mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """Magnitude in, masked magnitude out, noisy phase reconstruction."""
         spec = stft(noisy, self.cfg.stft)
         feat = self.model.compress(jnp.abs(spec))
         mask, _ = self.model.apply(self.variables, feat)
-        mag = jnp.abs(spec) * mask
+        mag = jnp.abs(spec) * self._postfilter(mask)
         phase = jnp.angle(spec)
         return istft_mag_phase(mag, phase, self.cfg.stft, length=noisy.shape[-1])
 
@@ -92,7 +110,7 @@ class BatchInferencer:
         )
         mask, _ = self.model.apply(self.variables, feats)
         ref = specs[:, cfg.reference_channel]
-        return istft(ref * mask, self.cfg.stft, length=noisy.shape[-1])
+        return istft(ref * self._postfilter(mask), self.cfg.stft, length=noisy.shape[-1])
 
     def multi_channel_mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """[B, C, L]: model sees all channel mags, output uses the reference

@@ -136,6 +136,33 @@ def test_batch_inferencer_mag_to_mag(tmp_path, rng):
     assert len(inf.rtf_history) == 1
 
 
+def test_mag_to_mag_postfilter(tmp_path, rng):
+    """Mask post-filters ("sin"/"envelope", the reference's listening-test
+    filters, utils/utils.py:345-362) are selectable on the mask strategies."""
+    import pytest
+
+    model, variables = _model_and_vars()
+    wav = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32) * 0.1)
+    outs = {}
+    for pf in (None, "sin", "envelope"):
+        cfg = InferencerConfig(
+            type="mag_to_mag",
+            stft=StftConfig(n_fft=320, hop_length=160),
+            output_dir=str(tmp_path / f"pf_{pf}"),
+            postfilter=pf,
+        )
+        outs[pf] = np.asarray(BatchInferencer(model, variables, cfg)._strategy(wav))
+        assert np.isfinite(outs[pf]).all()
+    assert not np.allclose(outs[None], outs["sin"])
+    assert not np.allclose(outs[None], outs["envelope"])
+
+    bad = InferencerConfig(type="mag_to_mag",
+                           stft=StftConfig(n_fft=320, hop_length=160),
+                           output_dir=str(tmp_path / "bad"), postfilter="nope")
+    with pytest.raises(ValueError):
+        BatchInferencer(model, variables, bad)._strategy(wav)
+
+
 def test_step_multi_matches_single_steps(rng):
     """k hops in one dispatch == k single steps, bit-identical."""
     import jax.numpy as jnp

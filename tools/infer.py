@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--hops_per_step", type=int, default=1,
                         help="Streaming: hops per device dispatch (k>1 amortizes dispatch "
                              "cost at +(k-1)*hop/sr seconds of latency).")
+    parser.add_argument("--postfilter", choices=["sin", "envelope"], default=None,
+                        help="Mask post-filter for magnitude-mask strategies "
+                             "(musical-noise suppression; overrides [inferencer] postfilter).")
     args = parser.parse_args()
 
     import numpy as np
@@ -103,6 +106,8 @@ def main():
             sr=sr,
             stft=StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])),
             output_dir=args.output_dir,
+            postfilter=(args.postfilter
+                        or config.get("inferencer", {}).get("postfilter")),
         )
         inferencer = BatchInferencer(model, variables, icfg)
         batches = ({"noisy": read_wav(f, sr=sr)[0][None], "name": [Path(f).stem]} for f in files)
