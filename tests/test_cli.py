@@ -1,0 +1,130 @@
+"""CLI integration smoke tests: every user-facing tool runs end-to-end in a
+subprocess (the reference validated its flow only by launching the full
+training CLI by hand; here each tool is exercised in CI).
+
+Subprocesses must force the CPU platform *after* importing jax (the axon
+sitecustomize re-pins the TPU; see tests/conftest.py) -- the `_run_tool`
+helper wraps each tool in runpy with the config override.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_tool(tool: str, argv, timeout=600):
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys, runpy; "
+        f"sys.argv = [{tool!r}] + {list(map(str, argv))!r}; "
+        f"runpy.run_path({os.path.join(REPO, 'tools', tool)!r}, run_name='__main__')"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def _write_wavs(dirpath, names, seconds=1.0, sr=16000, seed=0):
+    from cruse_tpu.data.wavio import write_wav
+
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    out = []
+    for name in names:
+        t = np.arange(int(seconds * sr)) / sr
+        wav = (0.2 * np.sin(2 * np.pi * rng.uniform(150, 400) * t)
+               + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+        path = os.path.join(dirpath, f"{name}.wav")
+        write_wav(path, (wav * 32767 * 0.5).astype(np.int16), sr)
+        out.append(path)
+    return out
+
+
+@pytest.mark.slow
+def test_preprocess_dataset_cli(tmp_path):
+    from cruse_tpu.data.wavio import write_wav
+
+    src = tmp_path / "src"
+    _write_wavs(src, ["a", "b"], seconds=2.0)
+    # one too-short file -> rejected
+    write_wav(str(src / "short.wav"), np.zeros(800, np.int16), 16000)
+    out = tmp_path / "clean.txt"
+    rej = tmp_path / "rej.txt"
+    res = _run_tool("preprocess_dataset.py",
+                    [str(src), "--out", str(out), "--reject-out", str(rej),
+                     "--min-seconds", "1.0"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    kept = [l for l in out.read_text().splitlines() if l.strip()]
+    rejected = [l for l in rej.read_text().splitlines() if l.strip()]
+    assert len(kept) == 2 and len(rejected) == 1
+
+
+@pytest.mark.slow
+def test_evaluate_cli(tmp_path):
+    ref = tmp_path / "clean"
+    files = _write_wavs(ref, ["u1", "u2"], seconds=1.0)
+    enh = tmp_path / "enhanced"
+    os.makedirs(enh)
+    for f in files:  # perfect "enhancement": copy of the reference
+        with open(f, "rb") as a, open(enh / os.path.basename(f), "wb") as b:
+            b.write(a.read())
+    csv = tmp_path / "scores.csv"
+    res = _run_tool("evaluate.py",
+                    ["-R", str(ref), "-E", str(enh),
+                     "--metrics", "STOI,SI_SDR", "--csv", str(csv)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "SI_SDR" in res.stdout and "composite" in res.stdout.lower()
+    rows = csv.read_text().splitlines()
+    assert len(rows) == 3  # header + 2 files
+
+
+@pytest.mark.slow
+def test_validate_pesq_cli():
+    res = _run_tool("validate_pesq.py", ["--mode", "wb", "--seconds", "1.0"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    # native-only table in this image (no ITU package): every sweep
+    # condition gets a native MOS-LQO line and scores degrade with SNR
+    assert "white+00dB" in res.stdout and "lp1500" in res.stdout
+
+
+@pytest.mark.slow
+def test_serve_cli(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state
+    from cruse_tpu.train.checkpoint import save_checkpoint
+
+    # build a loadable checkpoint from init weights (serving needs no
+    # training to validate the plumbing)
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+    feat = model.compress(jnp.abs(stft(jnp.zeros((1, 4800)), scfg)))
+    state = init_train_state(model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat)
+    save_checkpoint(tmp_path / "ck", state, epoch=1, best_score=0.0)
+
+    cfg = tmp_path / "serve.toml"
+    cfg.write_text(
+        "[meta]\nexperiment_name='serve'\n"
+        "[acoustics]\nn_fft=320\nhop_length=160\nwin_length=320\nsr=16000\n"
+        "[model]\npath='cruse_tpu.models.cruse.CruseConfig'\n"
+        "[model.args]\nin_freq=161\nchannels=[2,4,4,8]\nrnn_groups=4\n"
+    )
+    wav_dir = tmp_path / "in"
+    _write_wavs(wav_dir, ["s1", "s2"], seconds=0.5)
+    out_dir = tmp_path / "out"
+    res = _run_tool("serve.py",
+                    ["-M", f"cruse={cfg}:{tmp_path / 'ck' / 'model_0001'}",
+                     "-I", f"{wav_dir}@cruse:1",
+                     "-O", str(out_dir), "--max_streams", "2"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    outs = sorted(os.path.basename(p) for p in out_dir.glob("*.wav"))
+    assert outs == ["s1.wav", "s2.wav"], (outs, res.stdout[-2000:])
