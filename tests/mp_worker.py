@@ -1,0 +1,76 @@
+"""Multi-process SPMD worker: one of N processes joined by
+`jax.distributed.initialize`, each owning a slice of an 8-device virtual CPU
+mesh. Runs ONE global train step on a deterministic batch and prints the
+loss — the true multi-host path (cross-process gradient psum over the
+distributed runtime) that single-process virtual meshes can't exercise.
+
+Launched by tests/test_multiprocess.py:
+    python tests/mp_worker.py <coordinator> <num_processes> <process_id>
+Env (set by the launcher, BEFORE jax import): JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=4.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+# the axon sitecustomize re-pins the TPU platform; config wins over env
+jax.config.update("jax_platforms", "cpu")
+
+
+def main(coordinator: str, num_processes: int, process_id: int) -> None:
+    from cruse_tpu.parallel.distributed import initialize_distributed
+
+    ok = initialize_distributed(coordinator, num_processes, process_id)
+    assert ok, "initialize_distributed returned False in a configured launch"
+    assert jax.process_count() == num_processes
+    n_global = len(jax.devices())
+    assert n_global == 4 * num_processes, (n_global, jax.local_device_count())
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.parallel.mesh import make_mesh, data_sharding
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    mesh = make_mesh(n_data=n_global, n_model=1)
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+    step_cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+
+    # identical deterministic init + batch in every process
+    rng = np.random.default_rng(0)
+    clean = rng.standard_normal((8, 4800)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((8, 4800)).astype(np.float32) * 0.1
+    batch_np = {"noisy": clean + noise, "clean": clean}
+    feat = model.compress(jnp.abs(stft(jnp.asarray(batch_np["noisy"][:1]), scfg)))
+    state = init_train_state(model, step_cfg, jax.random.PRNGKey(0), feat)
+
+    def globalize(x, sharding):
+        arr = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    rep = NamedSharding(mesh, P())
+    # replicate the whole train state across the global mesh (pure data
+    # parallelism; each process materializes only its addressable shards)
+    state = jax.tree_util.tree_map(lambda x: globalize(x, rep), state)
+    batch = {
+        k: globalize(v, data_sharding(mesh, v.ndim)) for k, v in batch_np.items()
+    }
+
+    train_step = jax.jit(make_train_step(model, step_cfg), donate_argnums=0)
+    new_state, metrics = train_step(state, batch)
+    loss = float(metrics["loss_si_snr"])  # fully replicated -> readable
+    grad_norm = float(metrics["grad_norm"])
+    assert int(jax.device_get(new_state.step.addressable_data(0))) == 1
+    print(f"MP_RESULT {process_id} {loss:.6f} {grad_norm:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))

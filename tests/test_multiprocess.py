@@ -1,0 +1,84 @@
+"""True multi-process SPMD: two processes (4 virtual CPU devices each) join
+via `jax.distributed.initialize` and run ONE global train step over the
+8-device mesh — the cross-process gradient reduction the reference does
+with gloo rendezvous + DDP (tools/train_stand.py:28-34, base_trainer.py:31)
+and that a single-process virtual mesh cannot exercise.
+
+Checks: both processes report identical losses, and they match the
+single-process 8-virtual-device value computed in this process (same
+deterministic batch/init) to float tolerance.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference() -> tuple:
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+    step_cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    clean = rng.standard_normal((8, 4800)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((8, 4800)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + noise), "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"][:1], scfg)))
+    state = init_train_state(model, step_cfg, jax.random.PRNGKey(0), feat)
+    _, metrics = jax.jit(make_train_step(model, step_cfg))(state, batch)
+    return float(metrics["loss_si_snr"]), float(metrics["grad_norm"])
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process():
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_RESULT"):
+                _, pid, loss, gnorm = line.split()
+                results[int(pid)] = (float(loss), float(gnorm))
+    assert sorted(results) == [0, 1], f"missing results: {outs}"
+    # both processes computed the same global step
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    # and it matches the single-process 8-device value
+    ref = _single_process_reference()
+    np.testing.assert_allclose(results[0], ref, rtol=1e-4)
