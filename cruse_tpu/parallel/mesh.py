@@ -71,10 +71,43 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices owned by other processes
+    (multi-host SPMD: placement must build global arrays, not device_put)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place one array with `sharding`, working in BOTH runtimes:
+
+    - single-process (all mesh devices addressable): plain `jax.device_put`
+    - multi-process: `jax.make_array_from_callback` -- each process
+      materializes only its addressable shards of the global array, slicing
+      them out of the (identical-on-every-process) host value `x`. This is
+      the multi-host contract: every process must pass the same global
+      value (deterministic data pipeline / identical init).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(jax.device_get(x))
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: np.ascontiguousarray(arr[idx])
+    )
+
+
+def put_tree(tree: Any, shardings: Any) -> Any:
+    """put_global over a pytree; `shardings` is a matching pytree or one
+    NamedSharding broadcast to every leaf."""
+    if isinstance(shardings, NamedSharding):
+        return jax.tree_util.tree_map(lambda x: put_global(x, shardings), tree)
+    return jax.tree_util.tree_map(put_global, tree, shardings)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with the leading dim sharded over "data"."""
+    """Place a host batch with the leading dim sharded over "data"."""
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return put_global(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
 
@@ -95,17 +128,17 @@ def place_opt_state(mesh: Mesh, opt_state: Any, p_sh: Any) -> Any:
     def place(node):
         if isinstance(node, optax.ScaleByAdamState):
             return node._replace(
-                count=jax.device_put(node.count, rep),
-                mu=jax.device_put(node.mu, p_sh),
-                nu=jax.device_put(node.nu, p_sh),
+                count=put_global(node.count, rep),
+                mu=put_tree(node.mu, p_sh),
+                nu=put_tree(node.nu, p_sh),
             )
         if isinstance(node, optax.MultiStepsState):
             return node._replace(
-                mini_step=jax.device_put(node.mini_step, rep),
-                gradient_step=jax.device_put(node.gradient_step, rep),
+                mini_step=put_global(node.mini_step, rep),
+                gradient_step=put_global(node.gradient_step, rep),
                 inner_opt_state=place_opt_state(mesh, node.inner_opt_state, p_sh),
-                acc_grads=jax.device_put(node.acc_grads, p_sh),
+                acc_grads=put_tree(node.acc_grads, p_sh),
             )
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), node)
+        return jax.tree_util.tree_map(lambda x: put_global(x, rep), node)
 
     return jax.tree_util.tree_map(place, opt_state, is_leaf=is_typed)

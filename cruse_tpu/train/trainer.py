@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.metrics.registry import REGISTERED_METRICS, available_metrics, composite_score
-from cruse_tpu.parallel.mesh import param_shardings, replicated, shard_batch
+from cruse_tpu.parallel.mesh import (
+    mesh_spans_processes,
+    param_shardings,
+    put_global,
+    put_tree,
+    replicated,
+)
 from cruse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint, preload_params
 from cruse_tpu.train.step import (
     StepConfig,
@@ -133,7 +139,20 @@ class Trainer:
         # is the reference's DDP-by-default training entry (mp.spawn per GPU,
         # tools/train_stand.py:151-155 + base_trainer.py:31) done the XLA way:
         # one process, one jitted program, psum over ICI.
+        # A mesh spanning several PROCESSES (multi-host: jax.distributed has
+        # been initialized and jax.devices() is global) also works: placement
+        # builds global arrays from identical per-process host values
+        # (put_global), validation batches replicate so outputs are readable
+        # everywhere, and only process 0 writes checkpoints/logs scores.
         self.mesh = mesh
+        self._multiprocess = mesh is not None and mesh_spans_processes(mesh)
+        self._is_coordinator = jax.process_index() == 0
+        if self._multiprocess and mesh.shape["model"] > 1:
+            raise NotImplementedError(
+                "multi-process meshes currently support data parallelism only "
+                "(model-axis sharding across hosts would make checkpoints "
+                "non-addressable); use -M 1 across hosts"
+            )
 
         self.save_dir = Path(trainer_config.save_dir).expanduser().absolute() / trainer_config.experiment_name
         self.checkpoints_dir = self.save_dir / "checkpoints"
@@ -296,29 +315,36 @@ class Trainer:
         rep = replicated(mesh)
         # Adam moments / MultiSteps grad accumulators mirror the param tree
         # -> they take the param shardings (typed placer keeps optax's
-        # NamedTuple state classes intact)
+        # NamedTuple state classes intact). put_* builds global arrays when
+        # the mesh spans processes, device_puts otherwise.
         opt_state = place_opt_state(mesh, state.opt_state, p_sh)
         return state._replace(
-            params=jax.device_put(state.params, p_sh),
-            batch_stats=jax.device_put(state.batch_stats, rep),
+            params=put_tree(state.params, p_sh),
+            batch_stats=put_tree(state.batch_stats, rep),
             opt_state=opt_state,
-            balancer_state=jax.device_put(state.balancer_state, rep),
-            step=jax.device_put(state.step, rep),
-            ema_params=(jax.device_put(state.ema_params, p_sh)
+            balancer_state=put_tree(state.balancer_state, rep),
+            step=put_global(state.step, rep),
+            ema_params=(put_tree(state.ema_params, p_sh)
                         if state.ema_params is not None else None),
         )
 
-    def _put_batch(self, batch):
+    def _put_batch(self, batch, replicate: bool = False):
         """Shard the batch over the mesh's "data" axis (replicating anything
-        whose leading dim doesn't divide it, e.g. ragged validation tails)."""
+        whose leading dim doesn't divide it, e.g. ragged validation tails).
+        `replicate=True` forces full replication -- used by validation on
+        multi-process meshes so enhanced outputs stay host-readable."""
         if self.mesh is None:
             return batch
         n_data = self.mesh.shape["data"]
+        rep = replicated(self.mesh)
 
         def put(x):
-            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_data == 0:
-                return shard_batch(self.mesh, x)
-            return jax.device_put(x, replicated(self.mesh))
+            if (not replicate and hasattr(x, "shape") and x.ndim >= 1
+                    and x.shape[0] % n_data == 0):
+                from cruse_tpu.parallel.mesh import data_sharding
+
+                return put_global(x, data_sharding(self.mesh, x.ndim))
+            return put_global(x, rep)
 
         return {k: put(v) if hasattr(v, "shape") else v for k, v in batch.items()}
 
