@@ -91,9 +91,14 @@ def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
     if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
     arr = np.asarray(jax.device_get(x))
-    return jax.make_array_from_callback(
-        arr.shape, sharding, lambda idx: np.ascontiguousarray(arr[idx])
-    )
+
+    def shard(idx):
+        s = np.asarray(arr[idx])
+        # ascontiguousarray promotes 0-d to 1-d (ndim>=1 contract) -- keep
+        # scalar shards 0-d, they are trivially contiguous
+        return np.ascontiguousarray(s) if s.ndim else s
+
+    return jax.make_array_from_callback(arr.shape, sharding, shard)
 
 
 def put_tree(tree: Any, shardings: Any) -> Any:

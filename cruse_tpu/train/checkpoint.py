@@ -22,6 +22,17 @@ from cruse_tpu.train.step import TrainState
 
 
 def _checkpointer():
+    if jax.process_count() > 1:
+        # Multi-process runtime: the Trainer gates saves to the coordinator
+        # (process 0), so orbax's save barrier must span ONLY that process --
+        # the default barrier syncs every process and would deadlock against
+        # the non-calling ones.
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

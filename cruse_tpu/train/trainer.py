@@ -192,7 +192,8 @@ class Trainer:
             assert mesh is None, "adversarial training does not support a mesh yet"
             self._init_adversarial(dict(trainer_config.adversarial), resume)
         # writer: None = auto-create TensorBoard, False = disabled, else used
-        if writer is False:
+        # (non-coordinator processes never write TB -- one event stream)
+        if writer is False or not self._is_coordinator:
             self.writer = None
         elif writer is None:
             try:
@@ -427,7 +428,11 @@ class Trainer:
         noisy_list, clean_list, enhanced_list, names = [], [], [], []
         ref_ch = getattr(getattr(self.model, "config", None), "reference_channel", 0)
         for batch in vbatches:
-            noisy_dev = self._put_batch({"noisy": batch["noisy"]})["noisy"]
+            # multi-process: replicate so the enhanced output is fully
+            # addressable (readable) on every process
+            noisy_dev = self._put_batch(
+                {"noisy": batch["noisy"]}, replicate=self._multiprocess
+            )["noisy"]
             # validate/select-best with the EMA weights when enabled
             eval_params = (self.state.ema_params
                            if self.state.ema_params is not None else self.state.params)
@@ -499,6 +504,13 @@ class Trainer:
         except Exception as e:  # visualization must never kill training
             log(f"spectrogram figure failed: {e}")
 
+    def _save(self, epoch: int, best: bool = False) -> None:
+        """Checkpoint write, coordinator-only on multi-process meshes (every
+        process holds identical replicated state; one writer avoids
+        same-path races)."""
+        if self._is_coordinator:
+            save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, best)
+
     def _is_best_epoch(self, score: float) -> bool:
         if self.cfg.save_max_metric_score and score >= self.best_score:
             self.best_score = score
@@ -545,25 +557,27 @@ class Trainer:
             if self.cfg.only_validation:
                 score = self._validation_epoch(epoch)
                 if self._is_best_epoch(score):
-                    save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, True)
+                    self._save(epoch, best=True)
                 continue
 
             timer = ExecutionTime()
             self._train_epoch(epoch)
 
             if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
-                save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
-                self._save_disc()
+                self._save(epoch)
+                if self._is_coordinator:
+                    self._save_disc()
 
             if epoch % self.cfg.validation_interval == 0:
                 log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
                 score = self._validation_epoch(epoch)
                 if self._is_best_epoch(score):
-                    save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, True)
+                    self._save(epoch, best=True)
 
             log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
             if preempted["flag"]:
-                save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score)
-                self._save_disc()
+                self._save(epoch)
+                if self._is_coordinator:
+                    self._save_disc()
                 log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
                 return

@@ -5,7 +5,11 @@ loss — the true multi-host path (cross-process gradient psum over the
 distributed runtime) that single-process virtual meshes can't exercise.
 
 Launched by tests/test_multiprocess.py:
-    python tests/mp_worker.py <coordinator> <num_processes> <process_id>
+    python tests/mp_worker.py <coordinator> <num_processes> <process_id> [mode]
+mode "step" (default): one raw global train step.
+mode "trainer": the full Trainer class over the global mesh — epoch loop,
+replicated validation, coordinator-only checkpointing (trainer.py's
+multi-process path).
 Env (set by the launcher, BEFORE jax import): JAX_PLATFORMS=cpu,
 XLA_FLAGS=--xla_force_host_platform_device_count=4.
 """
@@ -21,7 +25,56 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def main(coordinator: str, num_processes: int, process_id: int) -> None:
+def run_trainer(mesh, save_dir: str, process_id: int) -> None:
+    """Drive the FULL Trainer over the multi-process mesh: 1 epoch of 2
+    deterministic steps, replicated validation scoring, coordinator-only
+    checkpoint write. Prints the composite validation score."""
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
+    step_cfg = StepConfig(stft=scfg, learning_rate=1e-3)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        # identical global batches on every process (put_global slices
+        # out this process's addressable shards)
+        r = np.random.default_rng(1)
+        for _ in range(2):
+            clean = r.standard_normal((8, 4800)).astype(np.float32) * 0.1
+            noise = r.standard_normal((8, 4800)).astype(np.float32) * 0.1
+            yield {"noisy": clean + noise, "clean": clean}
+
+    vclean = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    vnoise = rng.standard_normal((2, 4800)).astype(np.float32) * 0.1
+    vbatches = [{"noisy": vclean + vnoise, "clean": vclean}]
+
+    feat = model.compress(jnp.abs(stft(jnp.asarray(vbatches[0]["noisy"][:1]), scfg)))
+    tcfg = TrainerConfig(
+        epochs=1, steps_per_epoch=2, save_dir=save_dir,
+        experiment_name=f"mp{process_id}", metrics=("STOI", "SI_SDR"),
+        visualization_examples=0,
+    )
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=batches, validation_batches=lambda: iter(vbatches),
+        example_feat=feat, writer=False, mesh=mesh,
+    )
+    assert trainer._multiprocess, "mesh should span processes"
+    trainer.train()
+    ckpts = sorted(p.name for p in (trainer.checkpoints_dir).iterdir())
+    print(f"MP_TRAINER {process_id} {trainer.best_score:.6f} "
+          f"ckpts={','.join(ckpts) if ckpts else 'NONE'}", flush=True)
+
+
+def main(coordinator: str, num_processes: int, process_id: int,
+         mode: str = "step") -> None:
     from cruse_tpu.parallel.distributed import initialize_distributed
 
     ok = initialize_distributed(coordinator, num_processes, process_id)
@@ -39,6 +92,11 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
     from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
 
     mesh = make_mesh(n_data=n_global, n_model=1)
+
+    if mode == "trainer":
+        run_trainer(mesh, os.environ.get("MP_SAVE_DIR", "/tmp/mp_trainer"),
+                    process_id)
+        return
 
     scfg = StftConfig(n_fft=320, hop_length=160)
     model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4, 4, 8), rnn_groups=4))
@@ -73,4 +131,5 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else "step")

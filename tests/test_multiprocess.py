@@ -82,3 +82,48 @@ def test_two_process_train_step_matches_single_process():
     # and it matches the single-process 8-device value
     ref = _single_process_reference()
     np.testing.assert_allclose(results[0], ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_trainer_epoch(tmp_path):
+    """The FULL Trainer class across 2 processes: one global epoch +
+    replicated validation, identical composite scores everywhere, and
+    checkpoints written by the coordinator only."""
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MP_SAVE_DIR"] = str(tmp_path)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i), "trainer"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_TRAINER"):
+                _, pid, score, ckpts = line.split()
+                results[int(pid)] = (float(score), ckpts)
+    assert sorted(results) == [0, 1], f"missing results: {outs}"
+    # identical validation score on both processes (replicated batches)
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    # coordinator wrote the trio; the other process wrote nothing
+    ck0 = results[0][1].split("=", 1)[1]
+    ck1 = results[1][1].split("=", 1)[1]
+    assert "latest" in ck0 and "best" in ck0, ck0
+    assert ck1 == "NONE", ck1
