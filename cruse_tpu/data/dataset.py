@@ -51,6 +51,13 @@ class SynMixConfig:
     # per-example random shoebox, speech + noise as separate in-room sources,
     # real IPD structure; free-field stays the fast default
     mc_room: bool = False
+    # MEASURED array RIRs for the MC path (mixer.mix_batch_mc_rir): manifests
+    # of multichannel wavs ([num_mics, R] each; extra channels are dropped).
+    # Speech and noise draw independent entries (two source positions seen by
+    # the same array). Takes precedence over mc_room; noise manifest defaults
+    # to the speech one.
+    mc_rir_manifest: str = ""
+    mc_rir_noise_manifest: str = ""
     mc_room_t60: tuple = (0.2, 0.6)
     mc_room_max_order: int = 1
     mc_mic_spacing: float = 0.05
@@ -99,8 +106,25 @@ class SynMixDataset:
             reverb_noise_proportion=c.reverb_noise_proportion,
             eq_proportion=c.eq_proportion,
         )
+        self.mc_rir_list = (
+            load_manifest(c.mc_rir_manifest) if c.mc_rir_manifest else []
+        )
+        self.mc_rir_noise_list = (
+            load_manifest(c.mc_rir_noise_manifest)
+            if c.mc_rir_noise_manifest
+            else self.mc_rir_list
+        )
+        self._mc_measured = bool(self.mc_rir_list) and c.num_mics > 1
         if c.num_mics > 1:
-            if c.mc_room:
+            if self._mc_measured:
+                from cruse_tpu.data.mixer import mix_batch_mc_rir
+
+                self._mc_mix = jax.jit(
+                    lambda k, cl, n, rc, rn: mix_batch_mc_rir(
+                        k, cl, n, self.mixer_cfg, rc, rn
+                    )
+                )
+            elif c.mc_room:
                 from cruse_tpu.data.mixer import RoomConfig, mix_batch_mc_room
 
                 room = RoomConfig(sr=c.sr, t60=tuple(c.mc_room_t60),
@@ -172,6 +196,22 @@ class SynMixDataset:
             rir[:n] = wav[:n]
         return rir
 
+    def _select_rir_mc(self, rir_list: List[str]) -> np.ndarray:
+        """A random measured array RIR, padded/cropped to the static device
+        shape [num_mics, rir_len]. The file must carry at least num_mics
+        channels; extra channels are dropped."""
+        m = self.cfg.num_mics
+        out = np.zeros((m, self.rir_len), np.float32)
+        wav, _ = read_wav(rir_list[self.rng.integers(len(rir_list))],
+                          sr=self.cfg.sr, mono=False)
+        if wav.ndim == 1:
+            wav = wav[None, :]
+        assert wav.shape[0] >= m, (
+            f"measured RIR has {wav.shape[0]} channels < num_mics={m}")
+        n = min(wav.shape[1], self.rir_len)
+        out[:, :n] = wav[:m, :n]
+        return out
+
     def _native_select(self, file_list: List[str], b: int):
         """Fast path: the C++ assembler does the FULL reference selection
         (random files + silence gaps + random crop, dataset.py:147-203) on
@@ -228,7 +268,18 @@ class SynMixDataset:
             key, sub = jax.random.split(key)
             clean, noise, rir, rir_noise = self.host_batch()
             if self.cfg.num_mics > 1:
-                noisy, target = self._mc_mix(sub, jnp.asarray(clean), jnp.asarray(noise))
+                if self._mc_measured:
+                    b = self.cfg.batch_size
+                    rir_c = np.stack(
+                        [self._select_rir_mc(self.mc_rir_list) for _ in range(b)])
+                    rir_n = np.stack(
+                        [self._select_rir_mc(self.mc_rir_noise_list) for _ in range(b)])
+                    noisy, target = self._mc_mix(
+                        sub, jnp.asarray(clean), jnp.asarray(noise),
+                        jnp.asarray(rir_c), jnp.asarray(rir_n))
+                else:
+                    noisy, target = self._mc_mix(
+                        sub, jnp.asarray(clean), jnp.asarray(noise))
                 batch = {"noisy": noisy, "clean": target}
                 if self.cfg.valid_mode:
                     batch["name"] = [

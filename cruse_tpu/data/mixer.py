@@ -354,6 +354,32 @@ def room_transfers(key, num_mics: int, nfft: int, room: RoomConfig,
     return h, h_early, t60
 
 
+def _finish_mc_mix(k_snr, k_dbfs, rev_c, rev_n, target, cfg: MixerConfig):
+    """Shared multi-mic mixing tail: SNR set at the reference mic after
+    propagation, random output dBFS, clipping guard (the snr_mix ending,
+    dataset/dataset.py:251-264 intent). rev_c/rev_n: [M, L], target: [L]."""
+    eps = cfg.eps
+    snr = jax.random.randint(
+        k_snr, (), cfg.snr_range[0], cfg.snr_range[1] + 1
+    ).astype(jnp.float32)
+    snr_scalar = _rms(rev_c[0])[..., 0] / (10.0 ** (snr / 20.0)) / (
+        _rms(rev_n[0])[..., 0] + eps
+    )
+    noisy = rev_c + rev_n * snr_scalar
+
+    dbfs = jax.random.uniform(
+        k_dbfs, (),
+        minval=cfg.target_db_fs - cfg.target_db_fs_floating,
+        maxval=cfg.target_db_fs + cfg.target_db_fs_floating,
+    )
+    scalar = 10.0 ** (dbfs / 20.0) / (_rms(noisy[0])[..., 0] + eps)
+    noisy, target = noisy * scalar, target * scalar
+    peak = jnp.max(jnp.abs(noisy))
+    over = peak > cfg.clip_threshold
+    fix = jnp.where(over, cfg.clip_threshold / (peak + eps), 1.0)
+    return noisy * fix, target * fix
+
+
 def mix_single_mc_room(key, clean, noise, cfg: MixerConfig, room: RoomConfig,
                        num_mics: int):
     """Reverberant multi-mic mixture via the image-source model:
@@ -379,26 +405,50 @@ def mix_single_mc_room(key, clean, noise, cfg: MixerConfig, room: RoomConfig,
     target = jnp.fft.irfft(spec_c * h_c_early, nfft)[:l]
     if not cfg.use_early_reverb_target:
         target = rev_c[0]
+    return _finish_mc_mix(k_snr, k_dbfs, rev_c, rev_n, target, cfg)
 
-    snr = jax.random.randint(
-        k_snr, (), cfg.snr_range[0], cfg.snr_range[1] + 1
-    ).astype(jnp.float32)
-    snr_scalar = _rms(rev_c[0])[..., 0] / (10.0 ** (snr / 20.0)) / (
-        _rms(rev_n[0])[..., 0] + eps
-    )
-    noisy = rev_c + rev_n * snr_scalar
 
-    dbfs = jax.random.uniform(
-        k_dbfs, (),
-        minval=cfg.target_db_fs - cfg.target_db_fs_floating,
-        maxval=cfg.target_db_fs + cfg.target_db_fs_floating,
-    )
-    scalar = 10.0 ** (dbfs / 20.0) / (_rms(noisy[0])[..., 0] + eps)
-    noisy, target = noisy * scalar, target * scalar
-    peak = jnp.max(jnp.abs(noisy))
-    over = peak > cfg.clip_threshold
-    fix = jnp.where(over, cfg.clip_threshold / (peak + eps), 1.0)
-    return noisy * fix, target * fix
+def mix_single_mc_rir(key, clean, noise, cfg: MixerConfig,
+                      rir_c: jax.Array, rir_n: jax.Array):
+    """Reverberant multi-mic mixture from MEASURED array RIRs:
+    (noisy [M, L], target [L]).
+
+    rir_c / rir_n: [M, R] multichannel impulse responses (one channel per
+    mic) for the speech and noise source positions -- typically two entries
+    of a measured-RIR corpus recorded with the same array. The target is the
+    early part (direct + `predelay_ms`) of the speech RIR at the reference
+    mic 0, matching the simulated paths; SNR is set at the reference mic
+    after propagation. Reference lineage: dataset/dataset.py:205-233 draws
+    single-channel RIR files; this is the array generalization the
+    directional-feature models (feature.py:423-611) imply but the reference
+    never ships a data path for."""
+    l = clean.shape[-1]
+    k_snr, k_dbfs = jax.random.split(key)
+    eps = cfg.eps
+    clean = clean / (jnp.max(jnp.abs(clean)) + eps)
+    noise = noise / (jnp.max(jnp.abs(noise)) + eps)
+
+    rev_c = fft_convolve(clean[None, :], rir_c, out_len=l)  # [M, L]
+    rev_n = fft_convolve(noise[None, :], rir_n, out_len=l)
+    if cfg.use_early_reverb_target:
+        ref = rir_c[0]
+        direct_idx = jnp.argmax(jnp.abs(ref))
+        early_end = direct_idx + int(cfg.predelay_ms * cfg.sr / 1000.0)
+        early_rir = jnp.where(jnp.arange(ref.shape[-1]) < early_end, ref, 0.0)
+        target = fft_convolve(clean, early_rir, out_len=l)
+    else:
+        target = rev_c[0]
+    return _finish_mc_mix(k_snr, k_dbfs, rev_c, rev_n, target, cfg)
+
+
+def mix_batch_mc_rir(key, clean, noise, cfg: MixerConfig,
+                     rir_c: jax.Array, rir_n: jax.Array):
+    """vmap of mix_single_mc_rir: clean/noise [B, L], rir_c/rir_n [B, M, R]
+    -> ([B, M, L], [B, L])."""
+    keys = jax.random.split(key, clean.shape[0])
+    return jax.vmap(
+        lambda k, c, n, rc, rn: mix_single_mc_rir(k, c, n, cfg, rc, rn)
+    )(keys, clean, noise, rir_c, rir_n)
 
 
 def mix_batch_mc_room(key, clean, noise, cfg: MixerConfig, room: RoomConfig,

@@ -38,6 +38,23 @@ def main(root: str = "/tmp/corpus"):
     write_manifest(clean[4:], f"{root}/clean_valid.txt")
     write_manifest(noise[:4], f"{root}/noise_train.txt")
     write_manifest(noise[4:], f"{root}/noise_valid.txt")
+
+    # "measured" 3-mic array RIRs (per-mic delay + decaying reflections) for
+    # the mc_rir_manifest path (configs/tiny_mc_rir.toml)
+    rirs = []
+    for i in range(6):
+        r = np.zeros((3, 2400), np.float32)
+        base = 25 + int(rng.integers(30))
+        for m in range(3):
+            d = base + 3 * m
+            r[m, d] = 0.95
+            for j, (off, amp) in enumerate(((250, 0.4), (610, 0.22), (1300, 0.1))):
+                r[m, d + off + 7 * m + 11 * j] = amp * (1 - 0.1 * m)
+        p = f"{root}/mc_rir_{i}.wav"
+        write_wav(p, r, sr)
+        rirs.append(p)
+    write_manifest(rirs[:4], f"{root}/mc_rir_train.txt")
+    write_manifest(rirs[4:], f"{root}/mc_rir_valid.txt")
     print(f"tiny corpus + manifests written under {root}")
 
 

@@ -310,3 +310,89 @@ def test_room_array_geometries():
         _array_offsets(3, wide)  # 2 custom positions cannot serve 3 mics
     with pytest.raises(ValueError):
         _array_offsets(2, RoomConfig(array_geometry="spiral"))
+
+
+def test_mix_single_mc_rir_measured_delays(rng):
+    """Measured-RIR MC mixing: pure-delay array RIRs must reproduce the
+    clean signal delayed per mic (common scale), and the early target must
+    drop reflections beyond predelay_ms."""
+    from cruse_tpu.data.mixer import MixerConfig, mix_single_mc_rir
+
+    sr = 16000
+    l = 4000
+    clean = (rng.standard_normal(l) * 0.3).astype(np.float32)
+    silence = np.zeros(l, np.float32)  # noise source off
+    delays = [13, 16, 19]
+    rir_c = np.zeros((3, 1600), np.float32)
+    for m, d in enumerate(delays):
+        rir_c[m, d] = 1.0
+    # a reflection 60 ms after the direct path on the reference mic --
+    # beyond predelay (50 ms), so the early target must exclude it
+    rir_c[0, delays[0] + int(0.060 * sr)] = 0.8
+    rir_n = np.zeros((3, 1600), np.float32)
+    rir_n[:, 0] = 1.0
+
+    cfg = MixerConfig(snr_range=(0, 0), target_db_fs=-25.0,
+                      target_db_fs_floating=0.0, sr=sr)
+    noisy, target = mix_single_mc_rir(
+        jax.random.PRNGKey(0), jnp.asarray(clean), jnp.asarray(silence), cfg,
+        jnp.asarray(rir_c), jnp.asarray(rir_n))
+    noisy, target = np.asarray(noisy), np.asarray(target)
+    assert noisy.shape == (3, l) and target.shape == (l,)
+
+    # noise source is silent -> each mic is the (scaled) delayed clean plus
+    # the mic-0 reflection; mics 1..2 are pure delays
+    peak = np.max(np.abs(clean)) + cfg.eps
+    for m in (1, 2):
+        scale = noisy[m, delays[m] + 100] / (clean[100] / peak)
+        np.testing.assert_allclose(
+            noisy[m, delays[m]:], scale * clean[: l - delays[m]] / peak,
+            atol=1e-4 * abs(scale))
+    # the early target equals the delayed clean WITHOUT the late reflection
+    scale_t = target[delays[0] + 100] / (clean[100] / peak)
+    np.testing.assert_allclose(
+        target[delays[0]:], scale_t * clean[: l - delays[0]] / peak,
+        atol=1e-4 * abs(scale_t))
+    # while the reference-mic noisy keeps it
+    late = delays[0] + int(0.060 * sr)
+    assert np.abs(noisy[0, late:] - noisy[0, delays[0]:l - late + delays[0]]).max() > 1e-3
+
+
+def test_syn_dataset_measured_mc_rir(tmp_path, rng):
+    """SynMixDataset with mc_rir_manifest yields [B, M, L] batches carrying
+    the measured inter-mic delay structure."""
+    from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
+    from cruse_tpu.data.manifest import write_manifest
+
+    clean_mf = _make_corpus(tmp_path / "c4", rng)
+    noise_mf = _make_corpus(tmp_path / "n4", rng)
+    paths = []
+    for i in range(3):
+        r = np.zeros((3, 1200), np.float32)
+        base = 30 + int(rng.integers(20))
+        for m in range(3):
+            r[m, base + 4 * m] = 0.9
+            r[m, base + 4 * m + 300] = 0.25
+        p = str(tmp_path / f"mc_rir_{i}.wav")
+        write_wav(p, r, 16000)
+        paths.append(p)
+    mf = str(tmp_path / "mc_rir.txt")
+    write_manifest(paths, mf)
+
+    ds = SynMixDataset(SynMixConfig(
+        clean_manifest=clean_mf, noise_manifest=noise_mf,
+        snr_range=(0, 10), sub_sample_seconds=0.5, sr=16000, batch_size=2,
+        num_mics=3, mc_rir_manifest=mf,
+    ))
+    assert ds._mc_measured
+    batch = next(iter(ds.batches(num_batches=1)))
+    assert batch["noisy"].shape == (2, 3, 8000)
+    assert batch["clean"].shape == (2, 8000)
+    noisy = np.asarray(batch["noisy"])
+    assert np.isfinite(noisy).all()
+    # the 4-sample inter-mic spacing shows up as the dominant TDOA between
+    # adjacent mics (speech and noise RIRs share the array geometry)
+    a, b = noisy[0, 0], noisy[0, 1]
+    xc = np.correlate(a, b, "full")
+    lag = np.argmax(np.abs(xc)) - (len(a) - 1)
+    assert abs(lag + 4) <= 1 or abs(lag - 4) <= 1, lag
