@@ -38,7 +38,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 B, K, C, T = 16, 64, 24, 626
 DIL = 4
-ITERS = 8
+# ITERS must amortize the tunneled dispatch RTT (~10-20 ms/call): at 8
+# iters a trivial variant reads ~4 ms/iter of pure RTT. 100 iters puts the
+# floor at ~0.2 ms/iter.
+ITERS = int(os.environ.get("TFCM_ITERS", "100"))
 DTYPE = jnp.bfloat16
 
 
@@ -99,6 +102,45 @@ def block(x, params, mode):
     raise ValueError(mode)
 
 
+def measure_flax(train: bool):
+    """The production TFCMBlock (flax, BatchNormC included) fwd+bwd."""
+    from cruse_tpu.models.mtfaa import TFCMBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K, C, T)), DTYPE) * 0.1
+    blk = TFCMBlock(C, DIL)
+    variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def fwd_bwd(x, params):
+        def loss(x, p):
+            if train:
+                (y, _), _ = blk.apply(
+                    {"params": p, "batch_stats": stats}, x, train=True,
+                    mutable=["batch_stats"])
+            else:
+                y, _ = blk.apply({"params": p, "batch_stats": stats}, x, train=False)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        v, g = jax.value_and_grad(loss)(x, params)
+        return v, g
+
+    @jax.jit
+    def loop(x, params):
+        def body(i, carry):
+            acc, xx = carry
+            v, g = fwd_bwd(xx, params)
+            return acc + v, xx + 1e-6 * g.astype(DTYPE)
+
+        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), x))
+        return acc
+
+    dt = _time3(loop, x, params) / ITERS
+    name = f"flax_{'train' if train else 'eval'}"
+    print(f"{name:10s} {dt * 1e3:8.3f} ms/iter (fwd+bwd)", flush=True)
+    return dt
+
+
 def measure(mode):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, K, C, T)), DTYPE) * 0.1
@@ -130,6 +172,12 @@ def measure(mode):
 
 
 if __name__ == "__main__":
-    modes = sys.argv[1:] or ["full", "no_dw", "dw_only", "t_taps", "f_taps", "dw_conv"]
+    modes = sys.argv[1:] or ["full", "no_dw", "dw_only", "t_taps", "f_taps", "dw_conv",
+                             "flax_train", "flax_eval"]
     for m in modes:
-        measure(m)
+        if m == "flax_train":
+            measure_flax(True)
+        elif m == "flax_eval":
+            measure_flax(False)
+        else:
+            measure(m)

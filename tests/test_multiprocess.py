@@ -127,3 +127,54 @@ def test_two_process_trainer_epoch(tmp_path):
     ck1 = results[1][1].split("=", 1)[1]
     assert "latest" in ck0 and "best" in ck0, ck0
     assert ck1 == "NONE", ck1
+
+
+@pytest.mark.slow
+def test_two_process_cli_training(tmp_path):
+    """The user-facing multi-host path: TWO processes run `tools/train.py
+    -C tiny_cruse -N 8` joined by env-driven jax.distributed
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID), sharing one global
+    8-device mesh. Both must finish the epoch and report identical
+    validation scores."""
+    corpus = tmp_path / "corpus"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "make_tiny_corpus.py"),
+         str(corpus)], check=True, cwd=REPO, capture_output=True)
+    # tiny_cruse.toml points at /tmp/corpus; rewrite paths + save_dir
+    cfg_src = open(os.path.join(REPO, "configs", "tiny_cruse.toml")).read()
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(cfg_src.replace("/tmp/corpus", str(corpus)))
+
+    launcher = (
+        "import jax, sys, runpy; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = ['train.py', '-C', r'{cfg}', '-N', '8']; "
+        f"runpy.run_path(r'{os.path.join(REPO, 'tools', 'train.py')}', "
+        "run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    env["NUM_PROCESSES"] = "2"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    procs = []
+    for i in range(2):
+        e = dict(env)
+        e["PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", launcher], env=e, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"CLI worker {i} failed:\n{out[-3000:]}"
+
+    def scores(out):
+        return [line.split("enhanced")[-1].strip()
+                for line in out.splitlines() if "-> enhanced" in line]
+
+    s0, s1 = scores(outs[0]), scores(outs[1])
+    assert s0 and s0 == s1, (s0, s1)
+    for out in outs:
+        assert "Epoch 1 finished" in out
