@@ -102,6 +102,119 @@ def block(x, params, mode):
     raise ValueError(mode)
 
 
+def measure_dw_kernel():
+    """Fused Pallas dw stencil (ops/dw_kernel.py) fwd+bwd vs the XLA 9-tap
+    formulation (`dw_only` mode) at the same shape."""
+    from cruse_tpu.ops.dw_kernel import dw_causal_tm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K, C, T + 2 * DIL)), DTYPE) * 0.1
+    wd = jnp.asarray(rng.standard_normal((3, 3, C)), DTYPE) * 0.1
+
+    def fwd_bwd(x, wd):
+        def loss(x):
+            return jnp.sum(dw_causal_tm(x, wd, DIL).astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss)(x)
+
+    @jax.jit
+    def loop(x, wd):
+        def body(i, carry):
+            acc, xx = carry
+            v, g = fwd_bwd(xx, wd)
+            return acc + v, xx + 1e-6 * g.astype(DTYPE)
+
+        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), x))
+        return acc
+
+    dt = _time3(loop, x, wd) / ITERS
+    print(f"{'dw_kernel':10s} {dt * 1e3:8.3f} ms/iter (fwd+bwd)", flush=True)
+    return dt
+
+
+def anat_block(x, params, bn: str, prelu: str, hist: bool):
+    """Production TFCMBlock math in plain form with toggles, to bisect the
+    flax-vs-mock gap: bn in {train, eval, none}, prelu in {param, leaky},
+    hist=True also emits the streaming history slice as an output."""
+    w1, b1, wd, w2, b2, g1, be1, g2, be2, al1, al2, mu, var = params
+    inp = x
+
+    def norm(x, train_stats):
+        if bn == "none":
+            return x, None
+        if bn == "train" and train_stats:
+            xf = x.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 1, 3))
+            v = jnp.mean(jnp.square(xf), axis=(0, 1, 3)) - jnp.square(m)
+        else:
+            m, v = mu, var
+        inv = (jax.lax.rsqrt(v + 1e-5) * g1.astype(jnp.float32)).astype(x.dtype)
+        return (x - m.astype(x.dtype)[:, None]) * inv[:, None] + be1[:, None], (m, v)
+
+    def act(x, a):
+        if prelu == "param":
+            return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+        return jax.nn.leaky_relu(x, 0.25)
+
+    x = jnp.einsum("bkct,co->bkot", x, w1) + b1[:, None]
+    x, _ = norm(x, True)
+    x = act(x, al1)
+    d = DIL
+    if hist:
+        x_ext = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (2 * d, 0)))
+        new_hist = x_ext[..., x_ext.shape[-1] - 2 * d:]
+    else:
+        x_ext = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (2 * d, 0)))
+        new_hist = None
+    xp = jnp.pad(x_ext, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    acc = None
+    for it in range(3):
+        for jf in range(3):
+            sl = xp[:, jf : jf + K, :, it * d : it * d + T] * wd[it, jf][:, None]
+            acc = sl if acc is None else acc + sl
+    x = acc + b2[:, None] * 0  # dw bias folded below
+    x, _ = norm(x, True)
+    x = act(x, al2)
+    x = jnp.einsum("bkct,co->bkot", x, w2) + b2[:, None]
+    return x + inp, new_hist
+
+
+def measure_anat(bn: str, prelu: str, hist: bool, wrt_params: bool):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K, C, T)), DTYPE) * 0.1
+    shapes = ((C, C), (C,), (3, 3, C), (C, C), (C,),
+              (C,), (C,), (C,), (C,), (), ())
+    params = tuple(jnp.asarray(rng.standard_normal(s), DTYPE) * 0.1 for s in shapes)
+    params = params + (jnp.zeros((C,), jnp.float32), jnp.ones((C,), jnp.float32))
+
+    def fwd_bwd(x, params):
+        def loss(x, p):
+            y, _ = anat_block(x, p, bn, prelu, hist)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        if wrt_params:
+            v, (gx, gp) = jax.value_and_grad(loss, argnums=(0, 1))(x, params)
+            g = gx + 1e-3 * jnp.sum(gp[0]).astype(DTYPE)
+        else:
+            v, g = jax.value_and_grad(loss)(x, params)
+        return v, g
+
+    @jax.jit
+    def loop(x, params):
+        def body(i, carry):
+            acc, xx = carry
+            v, g = fwd_bwd(xx, params)
+            return acc + v, xx + 1e-6 * g.astype(DTYPE)
+
+        acc, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), x))
+        return acc
+
+    dt = _time3(loop, x, params) / ITERS
+    name = f"anat:{bn},{prelu}{',hist' if hist else ''}{',pgrads' if wrt_params else ''}"
+    print(f"{name:34s} {dt * 1e3:8.3f} ms/iter (fwd+bwd)", flush=True)
+    return dt
+
+
 def measure_flax(train: bool):
     """The production TFCMBlock (flax, BatchNormC included) fwd+bwd."""
     from cruse_tpu.models.mtfaa import TFCMBlock
@@ -179,5 +292,12 @@ if __name__ == "__main__":
             measure_flax(True)
         elif m == "flax_eval":
             measure_flax(False)
+        elif m == "dw_kernel":
+            measure_dw_kernel()
+        elif m.startswith("anat:"):
+            # anat:bn,prelu[,hist][,pgrads] e.g. anat:train,param,hist,pgrads
+            parts = m.split(":", 1)[1].split(",")
+            measure_anat(parts[0], parts[1], "hist" in parts[2:],
+                         "pgrads" in parts[2:])
         else:
             measure(m)
