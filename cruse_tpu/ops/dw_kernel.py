@@ -20,6 +20,11 @@ work; the config-5 gap is architectural to the model's channel widths.
 The hypothesis this kernel was built to test -- that XLA spends one HBM
 round-trip per tap and fusing them recovers ~4x -- is FALSE.
 
+One residual knob: bf16 in-kernel accumulation (ACC_DTYPE) measures
+1.16 ms (-18% vs XLA) -- the VPU does not double-pump bf16, and the win
+is too small to justify losing fp32 accumulation in a 17-term stencil,
+so fp32 stays the default and the einsum path stays production.
+
 Structure (T-minor layout [B, K, C, T] is kept end to end; reference
 lineage /root/reference/model/mtfaa.py:166-207 -- torch does this with a
 grouped Conv2d):
@@ -65,6 +70,9 @@ def dw_taps_reference(x_ext: jax.Array, wd: jax.Array, d: int) -> jax.Array:
 
 
 _TC = 256  # time-chunk width: bounds the fp32 accumulator VMEM footprint
+# accumulation dtype for the stencil (module-level knob for the profiler's
+# bf16-FMA-rate experiment; fp32 is the parity-tested default)
+ACC_DTYPE = jnp.float32
 
 
 def _stencil_kernel(xp_ref, w_ref, y_ref, *, d: int, k_out: int, t_out: int):
@@ -78,9 +86,9 @@ def _stencil_kernel(xp_ref, w_ref, y_ref, *, d: int, k_out: int, t_out: int):
         acc = None
         for it in range(3):
             for jf in range(3):
-                w = w_ref[it, jf].astype(jnp.float32).reshape(1, c, 1)
+                w = w_ref[it, jf].astype(jnp.float32).reshape(1, c, 1).astype(ACC_DTYPE)
                 sl = xp[jf : jf + k_out, :, t0 + it * d : t0 + it * d + tl]
-                term = sl.astype(jnp.float32) * w
+                term = sl.astype(ACC_DTYPE) * w
                 acc = term if acc is None else acc + term
         y_ref[0, :, :, t0 : t0 + tl] = acc.astype(y_ref.dtype)
 
@@ -105,9 +113,9 @@ def _bwd_kernel(gp_ref, xp_ref, wf_ref, dx_ref, dwd_ref, *, d: int,
         acc = None
         for it in range(3):
             for jf in range(3):
-                wf = wf_ref[it, jf].astype(jnp.float32).reshape(1, c, 1)
+                wf = wf_ref[it, jf].astype(jnp.float32).reshape(1, c, 1).astype(ACC_DTYPE)
                 sl = gp[jf : jf + k_out, :, t0 + it * d : t0 + it * d + tl]
-                term = sl.astype(jnp.float32) * wf
+                term = sl.astype(ACC_DTYPE) * wf
                 acc = term if acc is None else acc + term
         dx_ref[0, :, :, t0 : t0 + tl] = acc.astype(dx_ref.dtype)
 

@@ -102,10 +102,15 @@ def block(x, params, mode):
     raise ValueError(mode)
 
 
-def measure_dw_kernel():
+def measure_dw_kernel(name="dw_kernel"):
     """Fused Pallas dw stencil (ops/dw_kernel.py) fwd+bwd vs the XLA 9-tap
-    formulation (`dw_only` mode) at the same shape."""
-    from cruse_tpu.ops.dw_kernel import dw_causal_tm
+    formulation (`dw_only` mode) at the same shape. name='dw_kernel_bf16'
+    selects bf16 in-kernel accumulation (tests whether the VPU packs bf16
+    FMAs at 2x fp32 rate)."""
+    from cruse_tpu.ops import dw_kernel as dwk
+    dw_causal_tm = dwk.dw_causal_tm
+    if name.endswith("bf16"):
+        dwk.ACC_DTYPE = jnp.bfloat16
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, K, C, T + 2 * DIL)), DTYPE) * 0.1
@@ -128,7 +133,7 @@ def measure_dw_kernel():
         return acc
 
     dt = _time3(loop, x, wd) / ITERS
-    print(f"{'dw_kernel':10s} {dt * 1e3:8.3f} ms/iter (fwd+bwd)", flush=True)
+    print(f"{name:14s} {dt * 1e3:8.3f} ms/iter (fwd+bwd)", flush=True)
     return dt
 
 
@@ -292,8 +297,8 @@ if __name__ == "__main__":
             measure_flax(True)
         elif m == "flax_eval":
             measure_flax(False)
-        elif m == "dw_kernel":
-            measure_dw_kernel()
+        elif m.startswith("dw_kernel"):
+            measure_dw_kernel(m)
         elif m.startswith("anat:"):
             # anat:bn,prelu[,hist][,pgrads] e.g. anat:train,param,hist,pgrads
             parts = m.split(":", 1)[1].split(",")
