@@ -21,12 +21,14 @@ import orbax.checkpoint as ocp
 from cruse_tpu.train.step import TrainState
 
 
-def _checkpointer():
-    if jax.process_count() > 1:
-        # Multi-process runtime: the Trainer gates saves to the coordinator
-        # (process 0), so orbax's save barrier must span ONLY that process --
-        # the default barrier syncs every process and would deadlock against
-        # the non-calling ones.
+def _checkpointer(for_save: bool = False):
+    """Multi-process runtimes need two barrier scopes: SAVES are gated to
+    the coordinator (Trainer._save), so the save barrier must span ONLY
+    process 0 -- the default all-process barrier would deadlock against the
+    non-calling processes. RESTORES are called by EVERY process (the
+    shared-filesystem resume contract), so they keep the default
+    all-process barrier -- a {0}-scoped checkpointer raises on process 1."""
+    if for_save and jax.process_count() > 1 and jax.process_index() == 0:
         return ocp.Checkpointer(
             ocp.PyTreeCheckpointHandler(),
             multiprocessing_options=ocp.options.MultiprocessingOptions(
@@ -59,7 +61,7 @@ def save_checkpoint(
 ) -> None:
     ckpt_dir = Path(ckpt_dir).expanduser().absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    cp = _checkpointer()
+    cp = _checkpointer(for_save=True)
     tree = _to_save_tree(jax.device_get(state), epoch, best_score)
     cp.save(ckpt_dir / "latest", tree, force=True)
     # Per-epoch snapshot: when EMA is on, validation/best-model selection ran

@@ -72,6 +72,23 @@ def run_trainer(mesh, save_dir: str, process_id: int) -> None:
     print(f"MP_TRAINER {process_id} {trainer.best_score:.6f} "
           f"ckpts={','.join(ckpts) if ckpts else 'NONE'}", flush=True)
 
+    # resume phase: EVERY process restores from the coordinator's dir (the
+    # shared-filesystem contract of real multi-host runs) and trains one
+    # more global epoch
+    tcfg2 = TrainerConfig(
+        epochs=2, steps_per_epoch=2, save_dir=save_dir,
+        experiment_name="mp0", metrics=("STOI", "SI_SDR"),
+        visualization_examples=0,
+    )
+    trainer2 = Trainer(
+        model, step_cfg, tcfg2,
+        train_batches=batches, validation_batches=lambda: iter(vbatches),
+        example_feat=feat, writer=False, mesh=mesh, resume=True,
+    )
+    assert trainer2.start_epoch == 2, trainer2.start_epoch
+    trainer2.train()
+    print(f"MP_RESUME {process_id} {trainer2.best_score:.6f}", flush=True)
+
 
 def main(coordinator: str, num_processes: int, process_id: int,
          mode: str = "step") -> None:

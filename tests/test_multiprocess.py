@@ -114,12 +114,20 @@ def test_two_process_trainer_epoch(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
 
     results = {}
+    resumed = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MP_TRAINER"):
                 _, pid, score, ckpts = line.split()
                 results[int(pid)] = (float(score), ckpts)
+            if line.startswith("MP_RESUME"):
+                _, pid, score = line.split()
+                resumed[int(pid)] = float(score)
     assert sorted(results) == [0, 1], f"missing results: {outs}"
+    # resume phase: every process restored the coordinator's checkpoint
+    # (shared-filesystem contract) and finished epoch 2 with equal scores
+    assert sorted(resumed) == [0, 1], f"missing resume results: {outs}"
+    np.testing.assert_allclose(resumed[0], resumed[1], rtol=1e-6)
     # identical validation score on both processes (replicated batches)
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
     # coordinator wrote the trio; the other process wrote nothing
