@@ -55,11 +55,16 @@ class StreamingEnhancer:
     """Drives any causal zoo model frame-by-frame. Magnitude-mask models
     (CRUSE, DFSMN) apply the mask per frame; CruseDfNet additionally runs the
     complex deep-filter head over a rolling masked-spectrum history
-    (benchmark config 3's streaming-causal path)."""
+    (benchmark config 3's streaming-causal path); complex-spectrum models
+    (MtfaaNet with a finite ``attention_window`` -- the deployable windowed
+    configuration) enhance the RI spectrum directly through their own
+    carried state (conv/TFCM histories, rolling ASA K/V, deep-filter
+    taps)."""
 
     def __init__(self, model, variables, cfg: StftConfig):
         assert not cfg.center, "streaming path uses center=False configs"
         from cruse_tpu.models.cruse_df import CruseDfNet
+        from cruse_tpu.models.mtfaa import MtfaaNet
 
         self.model = model
         self.variables = variables
@@ -70,6 +75,11 @@ class StreamingEnhancer:
         self._env_hop = jnp.asarray(_steady_envelope(cfg))
         self._num_bins = f
         self._is_df = isinstance(model, CruseDfNet)
+        self._is_complex = isinstance(model, MtfaaNet)
+        if self._is_complex:
+            assert model.config.attention_window is not None, (
+                "MTFAA streaming needs a finite attention_window "
+                "(the full-causal configuration cannot carry ASA state)")
         self._step_jit = jax.jit(self._step_impl)
 
     def init_state(self, batch_size: int) -> StreamState:
@@ -100,6 +110,15 @@ class StreamingEnhancer:
         frame = jnp.concatenate([state.input_tail, hop_samples], axis=-1)  # [B, n]
         ri = frame @ self._ana  # [B, 2F] windowed DFT
         real, imag = ri[:, :f], ri[:, f:]
+        if self._is_complex:
+            cspec = jnp.stack([real, imag], axis=-1)[:, None]  # [B, 1, F, 2]
+            (enh, _mask), model_state = self.model.apply(
+                self.variables, cspec, state.model_state
+            )
+            enh_ri = jnp.concatenate(
+                [jnp.real(enh[:, 0]), jnp.imag(enh[:, 0])], axis=-1
+            )
+            return self._finish(state, frame, hop_samples, enh_ri, model_state)
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
         feat = self.model.compress(mag)[:, None, :]  # [B, 1, F]
         if self._is_df:
@@ -117,6 +136,11 @@ class StreamingEnhancer:
             mask, model_state = self.model.apply(self.variables, feat, state.model_state)
             m = mask[:, 0, :]
             enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
+        return self._finish(state, frame, hop_samples, enh_ri, model_state)
+
+    def _finish(self, state, frame, hop_samples, enh_ri, model_state):
+        """Shared synthesis tail: windowed inverse frame + overlap-add."""
+        hop = self.cfg.hop_length
         synth = enh_ri @ self._syn  # [B, n] windowed inverse frame
         ola = jnp.concatenate([state.ola_tail, jnp.zeros_like(hop_samples)], axis=-1) + synth
         out = ola[:, :hop] / self._env_hop

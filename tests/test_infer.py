@@ -189,3 +189,34 @@ def test_step_multi_matches_single_steps(rng):
     o_b, s2 = enh.step_multi(s2, wav[:, 4 * 32 :])   # k=4
     multi = np.concatenate([np.asarray(o_a), np.asarray(o_b)], axis=-1)
     np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_streaming_mtfaa_matches_offline(rng):
+    """The unified StreamingEnhancer drives the windowed MTFAA (the
+    deployable low-latency configuration) frame-by-frame: per-hop T=1 calls
+    through the carried state (conv/TFCM hists, rolling ASA K/V,
+    deep-filter taps) match the offline full-sequence forward."""
+    from cruse_tpu.models.mtfaa import MtfaaConfig, MtfaaNet
+
+    cfg = StftConfig(n_fft=256, hop_length=128, center=False)
+    mcfg = MtfaaConfig(n_fft=256, n_bands=32, channels=(4, 6, 8),
+                      tfcm_layers=2, attention_window=8)
+    model = MtfaaNet(mcfg)
+    ex = jnp.zeros((1, 6, 129, 2))
+    variables = model.init(jax.random.PRNGKey(0), ex, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    wav = rng.standard_normal((2, 6000)).astype(np.float32) * 0.1
+
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    streamed = np.asarray(enhancer.run(jnp.asarray(wav)))
+
+    spec = stft(jnp.asarray(wav), cfg)
+    ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    (enh, _mask), _ = model.apply(variables, ri)
+    offline = np.asarray(istft(enh, cfg))
+
+    n = cfg.n_fft
+    m = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n],
+                               atol=2e-4)

@@ -64,9 +64,11 @@ def main():
         from cruse_tpu.models import CruseNet as _CN
         from cruse_tpu.models.dfsmn import DfsmnNet as _DN
         from cruse_tpu.models.cruse_df import CruseDfNet as _CDN
+        from cruse_tpu.models.mtfaa import MtfaaNet as _MN
 
-        assert isinstance(model, (_CN, _DN, _CDN)), (
-            "--streaming supports CRUSE/DFSMN (magnitude mask) and CRUSE+DF"
+        assert isinstance(model, (_CN, _DN, _CDN, _MN)), (
+            "--streaming supports CRUSE/DFSMN (magnitude mask), CRUSE+DF, "
+            "and MTFAA with a finite attention_window"
         )
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
         enhancer = StreamingEnhancer(model, variables, scfg)
