@@ -370,7 +370,7 @@ class AxialSelfAttention(nn.Module):
                 pad_t = max(wfull - 1 - t, 0)
                 k_cache = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
                 v_cache = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
-                count = jnp.asarray(min(t, wfull - 1), jnp.int32)
+                count = jnp.full((b,), min(t, wfull - 1), jnp.int32)
                 return x + xt, (k_cache, v_cache, count)
             if self.causal and self.window is not None:
                 # block-local causal attention (two-block trick): queries in
@@ -411,7 +411,7 @@ class AxialSelfAttention(nn.Module):
                 pad_t = max(wfull - 1 - t, 0)
                 k_cache = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
                 v_cache = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (pad_t, 0)))[..., -(wfull - 1) :]
-                count = jnp.asarray(min(t, wfull - 1), jnp.int32)
+                count = jnp.full((b,), min(t, wfull - 1), jnp.int32)
                 return x + xt, (k_cache, v_cache, count)
             # full causal attention (training / offline, no window)
             logits = jnp.einsum("bfct,bfcs->bfts", qt, kt) / jnp.sqrt(c_att)
@@ -426,7 +426,7 @@ class AxialSelfAttention(nn.Module):
         # streaming: rolling caches. state = (k_cache, v_cache, count)
         assert self.window is not None, "streaming ASA requires a finite window"
         w = self.window
-        k_cache, v_cache, count = state  # [B,F,c_att,w-1], [B,F,C,w-1], scalar
+        k_cache, v_cache, count = state  # [B,F,c_att,w-1], [B,F,C,w-1], [B]
         keys = jnp.concatenate([k_cache, kt], axis=-1)  # [B,F,c_att,w-1+T]
         vals = jnp.concatenate([v_cache, vt], axis=-1)
         s_len = keys.shape[-1]
@@ -437,9 +437,14 @@ class AxialSelfAttention(nn.Module):
         # itself/window: valid s where s > (w-1+i) - w  and  s <= w-1+i
         # and cache slot s < w-1 requires s >= (w-1) - count (unfilled = zeros)
         band = (si[None, :] > (w - 1 + qi[:, None] - w)) & (si[None, :] <= (w - 1) + qi[:, None])
-        valid = si[None, :] >= jnp.maximum((w - 1) - count, 0)
-        mask = band & valid
-        logits = jnp.where(mask[None, None], logits, -1e9)
+        # per-stream validity: cache slot s < w-1 is real only if that
+        # stream has already produced >= (w-1) - s frames (multiplexed
+        # serving resets streams independently, so count is per-batch)
+        valid = si[None, None, :] >= jnp.maximum(
+            (w - 1) - count, 0
+        )[:, None, None]
+        mask = band[None] & valid  # [B, t, s]
+        logits = jnp.where(mask[:, None], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         xt = jnp.einsum("bfts,bfcs->bfct", attn, vals)
         new_state = (keys[..., -(w - 1) :], vals[..., -(w - 1) :], jnp.minimum(count + t, w - 1))
@@ -452,7 +457,7 @@ class AxialSelfAttention(nn.Module):
         return (
             jnp.zeros((batch_size, f, c_att, w - 1), dtype),
             jnp.zeros((batch_size, f, self.channels, w - 1), dtype),
-            jnp.zeros((), jnp.int32),
+            jnp.zeros((batch_size,), jnp.int32),
         )
 
 
@@ -709,7 +714,7 @@ class MtfaaNet(nn.Module):
             st[f"enc_asa_{si}"] = (
                 jnp.zeros((batch_size, band_sizes[si + 1], c_att, w - 1), dtype),
                 jnp.zeros((batch_size, band_sizes[si + 1], ch, w - 1), dtype),
-                jnp.zeros((), jnp.int32),
+                jnp.zeros((batch_size,), jnp.int32),  # per-stream validity
             )
             ch_in = ch
         for si in reversed(range(len(cfg.channels))):

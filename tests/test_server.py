@@ -174,3 +174,37 @@ def test_multi_model_priority_dispatch(setup, rng):
     ref_b = StreamingServer(model_b, variables_b, cfg, max_streams=1).run_session(wav)
     np.testing.assert_allclose(np.concatenate(outs[sa]), ref_a, atol=1e-6)
     np.testing.assert_allclose(np.concatenate(outs[sb]), ref_b, atol=1e-6)
+
+
+def test_server_streams_windowed_mtfaa(rng):
+    """The server multiplexes the windowed MTFAA (complex-spectrum model)
+    through the same step; a server session matches the single-stream
+    enhancer output."""
+    from cruse_tpu.models.mtfaa import MtfaaConfig, MtfaaNet
+
+    cfg = StftConfig(n_fft=256, hop_length=128, center=False)
+    model = MtfaaNet(MtfaaConfig(n_fft=256, n_bands=32, channels=(4, 6, 8),
+                                 tfcm_layers=2, attention_window=8))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 129, 2)),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    server = StreamingServer(model, variables, cfg, max_streams=2)
+    wav = rng.standard_normal(2560).astype(np.float32) * 0.1
+
+    sid = server.open()
+    server.feed(sid, wav)
+    outs = []
+    while server.ready(sid):
+        outs.extend(server.step().values())
+    got = np.concatenate(outs)
+    server.close(sid)
+
+    enh = StreamingEnhancer(model, variables, cfg)
+    state = enh.init_state(1)
+    ref = []
+    for t in range(len(wav) // cfg.hop_length):
+        out, state = enh.step(
+            state, jnp.asarray(wav[None, t * 128 : (t + 1) * 128]))
+        ref.append(np.asarray(out)[0])
+    np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
