@@ -9,6 +9,7 @@ from cruse_tpu.losses.spectral import (
     weighted_male_loss,
     sdnr_loss,
     multi_res_spectral_loss,
+    cirm_mse_loss,
 )
 
 
@@ -28,6 +29,8 @@ LOSS_REGISTRY = {
     "si_snr_zero_mean": _neg_si_snr_zero_mean,
     "compressed_spectral": lambda est, ref, **kw: compressed_spectral_loss(ref, est),
     "multi_res_spectral": lambda est, ref, **kw: multi_res_spectral_loss(est, ref),
+    # cIRM MSE needs (enhanced, noisy, clean) RI spectra
+    "cirm": lambda est, ref, noisy=None, **kw: cirm_mse_loss(est, noisy, ref),
 }
 
 

@@ -155,3 +155,32 @@ def multi_res_spectral_loss(
             d = scale_e * s_e - scale_r * s_r
             total = total + cfg.factor_complex * jnp.mean(jnp.square(jnp.abs(d)))
     return total
+
+
+def cirm_mse_loss(enhanced_ri, noisy_ri, clean_ri) -> jax.Array:
+    """FullSubNet-recipe objective: MSE between compressed cIRMs.
+
+    The predicted mask is recovered from the enhanced spectrum by the same
+    conjugate division the ideal-mask builder uses (enhanced / noisy), so a
+    model that predicts cIRM internally (models/fullsubnet.py through its
+    adapter) round-trips exactly, while any spectrum-emitting model can
+    also train against it. Reference lineage: the cIRM build/compress pair
+    (/root/reference/train_base/acoustics/mask.py:23-51) is exactly the
+    FullSubNet upstream's training target; the reference ships the masks
+    but no consumer loss.
+
+    enhanced_ri/noisy_ri/clean_ri: [..., F, 2] RI spectra. Returns the
+    mean squared error over compressed mask components (bounded (-10, 10)).
+    """
+    from cruse_tpu.dsp.mask import build_complex_ideal_ratio_mask, compress_cirm
+
+    eps = 1e-8
+    nr, ni = noisy_ri[..., 0], noisy_ri[..., 1]
+    er, ei = enhanced_ri[..., 0], enhanced_ri[..., 1]
+    denom = jnp.square(nr) + jnp.square(ni) + eps
+    pred_r = compress_cirm((nr * er + ni * ei) / denom)
+    pred_i = compress_cirm((nr * ei - ni * er) / denom)
+    ideal_r, ideal_i = build_complex_ideal_ratio_mask(
+        jax.lax.complex(nr, ni), jax.lax.complex(clean_ri[..., 0], clean_ri[..., 1])
+    )
+    return jnp.mean(jnp.square(pred_r - ideal_r) + jnp.square(pred_i - ideal_i))

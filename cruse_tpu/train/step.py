@@ -31,6 +31,7 @@ from cruse_tpu.losses.spectral import (
     weighted_male_loss,
     multi_res_spectral_loss,
     sdnr_loss,
+    cirm_mse_loss,
 )
 
 
@@ -332,6 +333,10 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
                 istft((out[..., 0], out[..., 1]), scfg, length=length), clean
             ),
             "sdnr": lambda out: _sdnr_from_output(out) / norm,
+            # FullSubNet-recipe cIRM MSE (mask.py:23-51 lineage): the
+            # compressed mask implied by the enhanced spectrum vs the
+            # compressed ideal -- already mean-normalized and bounded
+            "cirm": lambda out: cirm_mse_loss(out, noisy_ri, clean_ri),
         }
 
         def _sdnr_from_output(out):
