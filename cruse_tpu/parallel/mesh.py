@@ -35,8 +35,13 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 
 
 def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Shard the leading (batch) dim over "data", replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) dim over the data-parallel axes, replicate
+    the rest. On a pod mesh (distributed.make_pod_mesh: ("dcn", "data",
+    "model")) the batch shards over ("dcn", "data") jointly so cross-slice
+    data parallelism actually parallelizes instead of silently replicating
+    the batch per slice."""
+    batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    return NamedSharding(mesh, P(batch_axes, *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

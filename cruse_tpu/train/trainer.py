@@ -337,6 +337,8 @@ class Trainer:
         if self.mesh is None:
             return batch
         n_data = self.mesh.shape["data"]
+        if "dcn" in self.mesh.axis_names:  # pod mesh: batch shards over both
+            n_data *= self.mesh.shape["dcn"]
         rep = replicated(self.mesh)
 
         def put(x):
