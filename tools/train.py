@@ -81,9 +81,19 @@ def main():
     mp = max(args.model_parallel, 1)
     if n % mp != 0:
         raise SystemExit(f"-N {n} not divisible by -M {mp}")
-    mesh = (
-        make_mesh(n_data=n // mp, n_model=mp, devices=devices[:n]) if n > 1 else None
-    )
+    num_slices = max(getattr(d, "slice_index", 0) for d in devices) + 1
+    if n > 1 and num_slices > 1 and n == len(devices):
+        # multi-slice pod: hosts over DCN outermost, ICI within a slice --
+        # batch shards over (dcn, data), gradient psum stays on ICI with
+        # only per-slice partials crossing DCN (parallel/distributed.py)
+        from cruse_tpu.parallel.distributed import make_pod_mesh
+
+        mesh = make_pod_mesh(ici_model=mp, devices=devices)
+    else:
+        mesh = (
+            make_mesh(n_data=n // mp, n_model=mp, devices=devices[:n])
+            if n > 1 else None
+        )
     if mesh is not None:
         log(f"mesh: {dict(mesh.shape)}")
 
