@@ -128,3 +128,42 @@ def test_serve_cli(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     outs = sorted(os.path.basename(p) for p in out_dir.glob("*.wav"))
     assert outs == ["s1.wav", "s2.wav"], (outs, res.stdout[-2000:])
+
+
+def test_serve_cli_windowed_mtfaa(tmp_path):
+    """tools/serve.py serves the windowed MTFAA (complex-spectrum streaming
+    through the same server) alongside the mask models."""
+    import jax
+    import jax.numpy as jnp
+
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models.mtfaa import MtfaaConfig, MtfaaNet
+    from cruse_tpu.train.step import StepConfig, init_train_state, forward_for_model
+    from cruse_tpu.train.checkpoint import save_checkpoint
+
+    scfg = StftConfig(n_fft=256, hop_length=128)
+    model = MtfaaNet(MtfaaConfig(n_fft=256, n_bands=32, channels=(4, 6, 8),
+                                 tfcm_layers=2, attention_window=8))
+    spec = stft(jnp.zeros((1, 2000)), scfg)
+    feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    state = init_train_state(model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat)
+    save_checkpoint(tmp_path / "ck", state, epoch=1, best_score=0.0)
+
+    cfg = tmp_path / "serve_mtfaa.toml"
+    cfg.write_text(
+        "[meta]\nexperiment_name='serve_mtfaa'\n"
+        "[acoustics]\nn_fft=256\nhop_length=128\nwin_length=256\nsr=16000\n"
+        "[model]\npath='cruse_tpu.models.mtfaa.MtfaaConfig'\n"
+        "[model.args]\nn_fft=256\nn_bands=32\nchannels=[4,6,8]\n"
+        "tfcm_layers=2\nattention_window=8\n"
+    )
+    wav_dir = tmp_path / "in"
+    _write_wavs(wav_dir, ["m1"], seconds=0.4)
+    out_dir = tmp_path / "out"
+    res = _run_tool("serve.py",
+                    ["-M", f"mtfaa={cfg}:{tmp_path / 'ck' / 'model_0001'}",
+                     "-I", f"{wav_dir}@mtfaa:1",
+                     "-O", str(out_dir), "--max_streams", "2"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    outs = sorted(os.path.basename(p) for p in out_dir.glob("*.wav"))
+    assert outs == ["m1.wav"], (outs, res.stdout[-2000:])
