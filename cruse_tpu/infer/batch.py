@@ -25,6 +25,7 @@ from cruse_tpu.dsp.mask import (
     postfilter_sin,
 )
 from cruse_tpu.data.wavio import write_wav, to_int16_scaled
+from cruse_tpu.nn.quantize import dequantize_tree
 from cruse_tpu.utils.logger import log
 
 
@@ -59,12 +60,13 @@ class BatchInferencer:
     def auto(self, noisy: jax.Array) -> jax.Array:
         """Model-agnostic strategy: route through the same forward adapter
         the trainer uses (works for mask, deep-filter, and complex models)."""
+        variables = dequantize_tree(self.variables)
         from cruse_tpu.train.step import forward_for_model
 
         spec = stft(noisy, self.cfg.stft)
         ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         enhanced_ri, _ = forward_for_model(self.model)(
-            self.variables["params"], self.variables.get("batch_stats", {}), ri, train=False
+            variables["params"], variables.get("batch_stats", {}), ri, train=False
         )
         return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), self.cfg.stft,
                      length=noisy.shape[-1])
@@ -80,18 +82,20 @@ class BatchInferencer:
 
     def mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """Magnitude in, masked magnitude out, noisy phase reconstruction."""
+        variables = dequantize_tree(self.variables)
         spec = stft(noisy, self.cfg.stft)
         feat = self.model.compress(jnp.abs(spec))
-        mask, _ = self.model.apply(self.variables, feat)
+        mask, _ = self.model.apply(variables, feat)
         mag = jnp.abs(spec) * self._postfilter(mask)
         phase = jnp.angle(spec)
         return istft_mag_phase(mag, phase, self.cfg.stft, length=noisy.shape[-1])
 
     def complex_mask(self, noisy: jax.Array) -> jax.Array:
         """Model emits a compressed cIRM [B, T, F, 2]; decompress and apply."""
+        variables = dequantize_tree(self.variables)
         spec = stft(noisy, self.cfg.stft)
         feat = self.model.compress(jnp.abs(spec))
-        crm, _ = self.model.apply(self.variables, feat)
+        crm, _ = self.model.apply(variables, feat)
         crm = decompress_cirm(crm)
         r, i = complex_mul(jnp.real(spec), jnp.imag(spec), crm[..., 0], crm[..., 1])
         return istft((r, i), self.cfg.stft, length=noisy.shape[-1])
@@ -100,6 +104,7 @@ class BatchInferencer:
         """[B, M, L]: LPS+IPD directional features -> McCruseNet mask on the
         reference channel (the MC model the reference implies but never
         shipped; feature math = feature.py:423-611)."""
+        variables = dequantize_tree(self.variables)
         from cruse_tpu.dsp.features import directional_features_from_ri
 
         cfg = self.model.config
@@ -108,16 +113,17 @@ class BatchInferencer:
         feats = directional_features_from_ri(
             ri, cfg.mic_pairs, cfg.reference_channel, cfg.use_sin_ipd
         )
-        mask, _ = self.model.apply(self.variables, feats)
+        mask, _ = self.model.apply(variables, feats)
         ref = specs[:, cfg.reference_channel]
         return istft(ref * self._postfilter(mask), self.cfg.stft, length=noisy.shape[-1])
 
     def multi_channel_mag_to_mag(self, noisy: jax.Array) -> jax.Array:
         """[B, C, L]: model sees all channel mags, output uses the reference
         channel's phase (base_inferencer.py:139-161)."""
+        variables = dequantize_tree(self.variables)
         specs = mc_stft(noisy, self.cfg.stft)  # [B, C, T, F]
         mags = jnp.abs(specs)
-        enhanced_mag, _ = self.model.apply(self.variables, self.model.compress(mags))
+        enhanced_mag, _ = self.model.apply(variables, self.model.compress(mags))
         ref = specs[:, self.cfg.reference_channel]
         phase = jnp.angle(ref)
         return istft_mag_phase(enhanced_mag, phase, self.cfg.stft, length=noisy.shape[-1])

@@ -106,6 +106,11 @@ class StreamingEnhancer:
         return state._replace(input_tail=samples.astype(state.input_tail.dtype))
 
     def _step_impl(self, state: StreamState, hop_samples: jax.Array):
+        from cruse_tpu.nn.quantize import dequantize_tree
+
+        # identity on fp weights; on int8-quantized variables the convert+
+        # scale is traced here so the jitted step keeps int8 constants
+        variables = dequantize_tree(self.variables)
         hop, f = self.cfg.hop_length, self._num_bins
         frame = jnp.concatenate([state.input_tail, hop_samples], axis=-1)  # [B, n]
         ri = frame @ self._ana  # [B, 2F] windowed DFT
@@ -113,7 +118,7 @@ class StreamingEnhancer:
         if self._is_complex:
             cspec = jnp.stack([real, imag], axis=-1)[:, None]  # [B, 1, F, 2]
             (enh, _mask), model_state = self.model.apply(
-                self.variables, cspec, state.model_state
+                variables, cspec, state.model_state
             )
             enh_ri = jnp.concatenate(
                 [jnp.real(enh[:, 0]), jnp.imag(enh[:, 0])], axis=-1
@@ -125,7 +130,7 @@ class StreamingEnhancer:
             from cruse_tpu.models.cruse_df import apply_cruse_df_streaming
 
             net_state, df_state = state.model_state
-            (mask, coefs), net_state = self.model.apply(self.variables, feat, net_state)
+            (mask, coefs), net_state = self.model.apply(variables, feat, net_state)
             enh, df_state = apply_cruse_df_streaming(
                 df_state, jax.lax.complex(real, imag),
                 mask[:, 0, :], coefs[:, 0], self.model.config,
@@ -133,7 +138,7 @@ class StreamingEnhancer:
             enh_ri = jnp.concatenate([jnp.real(enh), jnp.imag(enh)], axis=-1)
             model_state = (net_state, df_state)
         else:
-            mask, model_state = self.model.apply(self.variables, feat, state.model_state)
+            mask, model_state = self.model.apply(variables, feat, state.model_state)
             m = mask[:, 0, :]
             enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
         return self._finish(state, frame, hop_samples, enh_ri, model_state)

@@ -9,3 +9,9 @@ from cruse_tpu.nn.gru import GRU, GroupedGRULayer, GroupedGRU, GGRUBottleneck, S
 from cruse_tpu.nn.linear import GroupedLinear  # noqa: F401
 from cruse_tpu.nn.conv import CausalConv2d, CausalConvTranspose2d, FreqUpsample  # noqa: F401
 from cruse_tpu.nn import norms  # noqa: F401
+from cruse_tpu.nn.quantize import (  # noqa: F401
+    quantize_tree,
+    dequantize_tree,
+    quantize_variables,
+    quantization_report,
+)

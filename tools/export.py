@@ -15,6 +15,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _quantize(variables):
+    """Weight-only int8 on the params collection + one log line of savings."""
+    from cruse_tpu.nn.quantize import quantize_variables, quantization_report
+    from cruse_tpu.utils.logger import log
+
+    variables = quantize_variables(variables)
+    rep = quantization_report(variables["params"])
+    log(
+        f"int8-quantized {rep['leaves_quantized']} kernels "
+        f"({rep['leaves_kept']} small leaves kept fp32): params "
+        f"{rep['bytes_fp32']/1e6:.2f} -> {rep['bytes_quantized']/1e6:.2f} MB"
+    )
+    return variables
+
+
 def main():
     parser = argparse.ArgumentParser(description="export enhancement graph")
     parser.add_argument("-C", "--configuration", required=True)
@@ -26,6 +41,10 @@ def main():
         "--streaming", action="store_true",
         help="export the per-hop streaming step (state, hop) -> (out, state) "
              "instead of the offline batch graph")
+    parser.add_argument(
+        "--quantize", choices=["int8"], default=None,
+        help="weight-only per-channel int8: large kernels are baked into the "
+             "artifact as int8 + scales (~4x smaller), dequantized in-graph")
     args = parser.parse_args()
 
     import numpy as np
@@ -61,6 +80,8 @@ def main():
         variables = model.init(
             jax.random.PRNGKey(0), features_for_model(model, ex_feat))
         variables = preload_variables(args.model_checkpoint_path, variables)
+        if args.quantize == "int8":
+            variables = _quantize(variables)
         enhancer = StreamingEnhancer(model, variables, stream_cfg)
         state = enhancer.init_state(args.batch)
         hop = jnp.zeros((args.batch, stream_cfg.hop_length), jnp.float32)
@@ -82,12 +103,17 @@ def main():
     # params AND BatchNorm running stats (a params-only load would run
     # trained BN layers with fresh stats and diverge from validation)
     variables = preload_variables(args.model_checkpoint_path, variables)
+    if args.quantize == "int8":
+        variables = _quantize(variables)
     adapter = forward_for_model(model)
 
     def forward(noisy):
+        from cruse_tpu.nn.quantize import dequantize_tree
+
+        v = dequantize_tree(variables)  # identity unless --quantize
         spec = stft(noisy, scfg)
         ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-        enhanced_ri, _ = adapter(variables["params"], variables["batch_stats"], ri, train=False)
+        enhanced_ri, _ = adapter(v["params"], v["batch_stats"], ri, train=False)
         return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), scfg, length=noisy.shape[-1])
 
     example = jnp.zeros((args.batch, length), jnp.float32)

@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--postfilter", choices=["sin", "envelope"], default=None,
                         help="Mask post-filter for magnitude-mask strategies "
                              "(musical-noise suppression; overrides [inferencer] postfilter).")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="Weight-only per-channel int8 serving: large kernels "
+                             "held int8 in HBM, dequantized in-graph.")
     args = parser.parse_args()
 
     import numpy as np
@@ -55,6 +58,13 @@ def main():
     # params AND BatchNorm running stats (a params-only load would run
     # trained BN layers with fresh stats and diverge from validation)
     variables = preload_variables(args.model_checkpoint_path, variables)
+    if args.quantize == "int8":
+        from cruse_tpu.nn.quantize import quantize_variables, quantization_report
+
+        variables = quantize_variables(variables)
+        rep = quantization_report(variables["params"])
+        log(f"int8 weights: {rep['leaves_quantized']} kernels, params "
+            f"{rep['bytes_fp32']/1e6:.2f} -> {rep['bytes_quantized']/1e6:.2f} MB")
 
     inp = Path(args.input)
     files = load_manifest(str(inp)) if inp.is_file() else sorted(str(p) for p in inp.glob("*.wav"))

@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build_model(config_path: str, ckpt: str):
+def _build_model(config_path: str, ckpt: str, quantize: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +39,10 @@ def _build_model(config_path: str, ckpt: str):
                    StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"])))
     variables = model.init(jax.random.PRNGKey(0), features_for_model(model, ex_spec))
     variables = preload_variables(ckpt, variables)
+    if quantize == "int8":
+        from cruse_tpu.nn.quantize import quantize_variables
+
+        variables = quantize_variables(variables)
     scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]),
                       center=False)
     return model, variables, scfg, int(ac.get("sr", 16000))
@@ -86,6 +90,9 @@ def main():
                         help="hops of input fed per session per iteration "
                              "(>1 simulates bursty arrivals; the backlog "
                              "drains at one hop per iteration)")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="weight-only int8 serving for all registered "
+                             "models (kernels stay int8 in HBM)")
     args = parser.parse_args()
 
     import numpy as np
@@ -99,7 +106,7 @@ def main():
     for spec in args.model:
         name, rest = spec.split("=", 1)
         config_path, ckpt = rest.rsplit(":", 1)
-        model, variables, scfg, sr = _build_model(config_path, ckpt)
+        model, variables, scfg, sr = _build_model(config_path, ckpt, args.quantize)
         server.add_model(name, model, variables, scfg, max_streams=args.max_streams)
         hops[name], srs[name] = scfg.hop_length, sr
         log(f"registered model {name!r} (hop {scfg.hop_length}, {sr} Hz)")
