@@ -220,3 +220,38 @@ def test_streaming_mtfaa_matches_offline(rng):
     m = min(streamed.shape[-1], offline.shape[-1])
     np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n],
                                atol=2e-4)
+
+
+def test_run_batched_mesh_matches_single_device(tmp_path, rng):
+    """Mesh-sharded corpus inference (`tools/infer.py -N`) writes the same
+    audio as the per-utterance flow: sharding the batch over the data axis
+    must not change any sample, and ragged lengths are trimmed exactly."""
+    from cruse_tpu.parallel.mesh import make_mesh
+
+    model, variables = _model_and_vars()
+
+    def cfg(sub):
+        return InferencerConfig(
+            type="mag_to_mag",
+            stft=StftConfig(n_fft=320, hop_length=160),
+            output_dir=str(tmp_path / sub),
+        )
+
+    # 5 utterances, ragged lengths (not hop-aligned), batch 4 over 4 devices
+    # -> one full batch + a repeated-tail batch
+    lengths = [16000, 12003, 8000, 15999, 4801]
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1 for n in lengths]
+    names = [f"utt{i}" for i in range(len(wavs))]
+
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    sharded = BatchInferencer(model, variables, cfg("mesh"), mesh=mesh)
+    got = sharded.run_batched(wavs, names, batch_size=4)
+    assert [g[0] for g in got] == names
+    assert [len(g[1]) for g in got] == lengths  # trimmed to true lengths
+    assert all((tmp_path / "mesh" / f"{n}.wav").exists() for n in names)
+
+    single = BatchInferencer(model, variables, cfg("one"))
+    ref = single.run_batched(wavs, names, batch_size=4, write=False)
+    for (_, a, _), (_, b, _) in zip(got, ref):
+        # sharded XLA fusions reorder float ops; at int16 that is <= 1 LSB
+        assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1

@@ -28,6 +28,13 @@ def main():
     parser.add_argument("--quantize", choices=["int8"], default=None,
                         help="Weight-only per-channel int8 serving: large kernels "
                              "held int8 in HBM, dequantized in-graph.")
+    parser.add_argument("-N", "--num_devices", type=int, default=0,
+                        help="Data-parallel batch inference over an N-device mesh "
+                             "(utterance batches shard over the mesh's data axis; "
+                             "N=0 keeps the reference's one-utterance-per-forward flow).")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="Utterances per dispatch for batched/mesh inference "
+                             "(0 = auto; rounded up to a multiple of -N).")
     args = parser.parse_args()
 
     import numpy as np
@@ -121,9 +128,29 @@ def main():
             postfilter=(args.postfilter
                         or config.get("inferencer", {}).get("postfilter")),
         )
-        inferencer = BatchInferencer(model, variables, icfg)
-        batches = ({"noisy": read_wav(f, sr=sr)[0][None], "name": [Path(f).stem]} for f in files)
-        inferencer(batches)
+        mesh = None
+        if args.num_devices > 1 or args.batch > 1:
+            n = args.num_devices or 1
+            devices = jax.devices()
+            if n > len(devices):
+                raise SystemExit(
+                    f"-N {n} requested but only {len(devices)} devices visible; "
+                    f"for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count={n}"
+                )
+            if n > 1:
+                from cruse_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n])
+                log(f"batched inference over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        inferencer = BatchInferencer(model, variables, icfg, mesh=mesh)
+        if mesh is not None or args.batch > 1:
+            wavs = [read_wav(f, sr=sr)[0] for f in files]
+            inferencer.run_batched(wavs, [Path(f).stem for f in files],
+                                   batch_size=args.batch or None)
+        else:
+            batches = ({"noisy": read_wav(f, sr=sr)[0][None], "name": [Path(f).stem]} for f in files)
+            inferencer(batches)
 
 
 if __name__ == "__main__":
