@@ -140,7 +140,10 @@ class BatchInferencer:
         overlap (the reference's `overlap_cat` chunking, feature.py:172-191).
 
         noisy: [B, L]. Causal models give identical interiors per chunk; the
-        averaged overlap suppresses boundary transients.
+        averaged overlap suppresses boundary transients. With a mesh, the
+        chunks themselves become the sharded batch dimension — one SPMD
+        dispatch enhances the whole recording across the chips (time-axis
+        parallelism via the 50% overlap instead of halo exchange).
         """
         from cruse_tpu.dsp.features import overlap_cat
 
@@ -156,10 +159,30 @@ class BatchInferencer:
         padded_len = num_hops * hop + chunk
         noisy = jnp.pad(noisy, ((0, 0), (0, padded_len - length)))
         starts = [i * hop for i in range(num_hops + 1)]
-        outs = [
-            self._strategy(jax.lax.dynamic_slice_in_dim(noisy, s, chunk, axis=-1))
-            for s in starts
-        ]
+        if self.mesh is not None:
+            from cruse_tpu.parallel.mesh import shard_batch
+
+            n_dev = int(
+                np.prod([self.mesh.shape[a] for a in self.mesh.axis_names if a != "model"])
+            )
+            b = noisy.shape[0]
+            # [n_starts, B, chunk] -> flatten to the sharded batch dim,
+            # padded to a device multiple (extra rows repeat chunk 0)
+            tiles = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(noisy, s, chunk, axis=-1) for s in starts]
+            )
+            n = len(starts) * b
+            pad_rows = (-n) % n_dev
+            flat = tiles.reshape(n, *tiles.shape[2:])
+            if pad_rows:
+                flat = jnp.concatenate([flat, flat[:pad_rows]])
+            out = self._strategy(shard_batch(self.mesh, flat))[:n]
+            outs = [out[i * b : (i + 1) * b] for i in range(len(starts))]
+        else:
+            outs = [
+                self._strategy(jax.lax.dynamic_slice_in_dim(noisy, s, chunk, axis=-1))
+                for s in starts
+            ]
         stitched = overlap_cat(outs)
         return stitched[..., :length]
 

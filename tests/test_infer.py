@@ -255,3 +255,28 @@ def test_run_batched_mesh_matches_single_device(tmp_path, rng):
     for (_, a, _), (_, b, _) in zip(got, ref):
         # sharded XLA fusions reorder float ops; at int16 that is <= 1 LSB
         assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1
+
+
+def test_enhance_long_mesh_matches_sequential(tmp_path, rng):
+    """With a mesh, enhance_long scatters the 50%-overlap chunks across the
+    data axis (whole recording in one SPMD dispatch) and must produce the
+    same stitched audio as the sequential chunk loop."""
+    from cruse_tpu.parallel.mesh import make_mesh
+
+    model, variables = _model_and_vars()
+
+    def cfg(sub):
+        return InferencerConfig(
+            type="mag_to_mag",
+            stft=StftConfig(n_fft=320, hop_length=160),
+            output_dir=str(tmp_path / sub),
+        )
+
+    wav = jnp.asarray(rng.standard_normal((1, 50000)).astype(np.float32) * 0.1)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    seq = np.asarray(BatchInferencer(model, variables, cfg("a")).enhance_long(
+        wav, chunk_seconds=1.0))
+    par = np.asarray(BatchInferencer(model, variables, cfg("b"), mesh=mesh).enhance_long(
+        wav, chunk_seconds=1.0))
+    assert par.shape == seq.shape == (1, 50000)
+    np.testing.assert_allclose(par, seq, atol=2e-5)

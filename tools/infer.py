@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--batch", type=int, default=0,
                         help="Utterances per dispatch for batched/mesh inference "
                              "(0 = auto; rounded up to a multiple of -N).")
+    parser.add_argument("--chunk_seconds", type=float, default=0.0,
+                        help="Memory-bounded long-audio mode: enhance each file as "
+                             "50%%-overlapping chunks of this many seconds and stitch "
+                             "(with -N, the chunks shard over the mesh's data axis).")
     args = parser.parse_args()
 
     import numpy as np
@@ -144,7 +148,20 @@ def main():
                 mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n])
                 log(f"batched inference over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         inferencer = BatchInferencer(model, variables, icfg, mesh=mesh)
-        if mesh is not None or args.batch > 1:
+        if args.chunk_seconds > 0:
+            import time
+
+            out_dir = Path(args.output_dir)
+            for f in files:
+                wav, _ = read_wav(f, sr=sr)
+                t1 = time.time()
+                out = np.asarray(inferencer.enhance_long(
+                    jnp.asarray(wav[None]), chunk_seconds=args.chunk_seconds))[0]
+                rtf = (time.time() - t1) / (len(out) / sr)
+                log(f"{Path(f).stem} ({len(out)/sr:.1f}s in "
+                    f"{args.chunk_seconds:.0f}s chunks), rtf: {rtf}")
+                write_wav(str(out_dir / f"{Path(f).stem}.wav"), to_int16_scaled(out), sr)
+        elif mesh is not None or args.batch > 1:
             wavs = [read_wav(f, sr=sr)[0] for f in files]
             inferencer.run_batched(wavs, [Path(f).stem for f in files],
                                    batch_size=args.batch or None)
