@@ -28,15 +28,35 @@ from cruse_tpu.infer.streaming import StreamingEnhancer
 
 
 class StreamingServer:
-    def __init__(self, model, variables, cfg: StftConfig, max_streams: int = 64):
+    def __init__(self, model, variables, cfg: StftConfig, max_streams: int = 64,
+                 mesh=None):
+        """With `mesh`, the stream slots shard over the mesh's data axes:
+        N chips each carry max_streams/N sessions' state and the one jitted
+        step advances them all SPMD (pod-scale concurrent serving; the
+        per-slot session API is unchanged)."""
         self.enhancer = StreamingEnhancer(model, variables, cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                 if a != "model"]))
+            assert max_streams % n_dev == 0, (
+                f"max_streams={max_streams} must divide over the mesh's "
+                f"{n_dev} data-axis devices")
         self.max_streams = max_streams
         self.hop = cfg.hop_length
-        self._state = self.enhancer.init_state(max_streams)
+        self._state = self._place(self.enhancer.init_state(max_streams))
         self._fresh = self.enhancer.init_state(1)  # template for slot resets
         self._active = np.zeros(max_streams, bool)
         self._buffers: Dict[int, np.ndarray] = {}
         self._step = jax.jit(self._step_impl)
+
+    def _place(self, tree):
+        """Shard a slot-major pytree over the mesh (identity without one)."""
+        if self.mesh is None:
+            return tree
+        from cruse_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, tree)
 
     # ---- session management ----
 
@@ -47,10 +67,11 @@ class StreamingServer:
         sid = int(free[0])
         self._active[sid] = True
         self._buffers[sid] = np.zeros(0, np.float32)
-        # reset the slot's state to fresh
-        self._state = jax.tree_util.tree_map(
+        # reset the slot's state to fresh (re-placed so the slot axis keeps
+        # its mesh sharding after the scatter)
+        self._state = self._place(jax.tree_util.tree_map(
             lambda full, fresh: full.at[sid].set(fresh[0]), self._state, self._fresh
-        )
+        ))
         return sid
 
     def close(self, sid: int) -> None:
@@ -115,7 +136,9 @@ class StreamingServer:
             return {}
         active = np.zeros(self.max_streams, bool)
         active[stepped] = True
-        out, self._state = self._step(self._state, jnp.asarray(hops), jnp.asarray(active))
+        out, self._state = self._step(
+            self._state, self._place(jnp.asarray(hops)), self._place(jnp.asarray(active))
+        )
         out_np = np.asarray(out)
         return {sid: out_np[sid] for sid in stepped}
 
@@ -163,9 +186,10 @@ class MultiModelServer:
         self._clock = 0
 
     def add_model(self, name: str, model, variables, cfg: StftConfig,
-                  max_streams: int = 16) -> None:
+                  max_streams: int = 16, mesh=None) -> None:
         assert name not in self._pools, f"model {name!r} already registered"
-        self._pools[name] = StreamingServer(model, variables, cfg, max_streams)
+        self._pools[name] = StreamingServer(model, variables, cfg, max_streams,
+                                            mesh=mesh)
         self._last_served[name] = 0
 
     @property

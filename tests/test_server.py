@@ -208,3 +208,27 @@ def test_server_streams_windowed_mtfaa(rng):
             state, jnp.asarray(wav[None, t * 128 : (t + 1) * 128]))
         ref.append(np.asarray(out)[0])
     np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
+
+
+def test_mesh_sharded_server_matches_single_device(setup, rng):
+    """Stream slots sharded over the mesh's data axis (`tools/serve.py -N`)
+    serve the same audio as the single-device server: sharding the slot
+    dimension must not change any sample or break slot open/close reuse."""
+    from cruse_tpu.parallel.mesh import make_mesh
+
+    model, variables, cfg = setup
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    sharded = StreamingServer(model, variables, cfg, max_streams=8, mesh=mesh)
+    plain = StreamingServer(model, variables, cfg, max_streams=8)
+
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (3200, 4800, 1600)]
+    for wav in wavs:
+        a = np.asarray(sharded.run_session(wav))
+        b = np.asarray(plain.run_session(wav))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # slot count must divide over the data axis
+    with pytest.raises(AssertionError):
+        StreamingServer(model, variables, cfg, max_streams=6, mesh=mesh)

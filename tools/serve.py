@@ -93,6 +93,10 @@ def main():
     parser.add_argument("--quantize", choices=["int8"], default=None,
                         help="weight-only int8 serving for all registered "
                              "models (kernels stay int8 in HBM)")
+    parser.add_argument("-N", "--num_devices", type=int, default=0,
+                        help="shard every pool's stream slots over an N-device "
+                             "mesh (max_streams must be a multiple of N; each "
+                             "chip carries max_streams/N sessions' state)")
     args = parser.parse_args()
 
     import numpy as np
@@ -101,13 +105,30 @@ def main():
     from cruse_tpu.infer.server import MultiModelServer
     from cruse_tpu.utils.logger import log
 
+    mesh = None
+    if args.num_devices > 1:
+        import jax
+
+        from cruse_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if args.num_devices > len(devices):
+            raise SystemExit(
+                f"-N {args.num_devices} requested but only {len(devices)} "
+                f"devices visible; for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={args.num_devices}")
+        mesh = make_mesh(n_data=args.num_devices, n_model=1,
+                         devices=devices[: args.num_devices])
+        log(f"serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     server = MultiModelServer()
     hops, srs = {}, {}
     for spec in args.model:
         name, rest = spec.split("=", 1)
         config_path, ckpt = rest.rsplit(":", 1)
         model, variables, scfg, sr = _build_model(config_path, ckpt, args.quantize)
-        server.add_model(name, model, variables, scfg, max_streams=args.max_streams)
+        server.add_model(name, model, variables, scfg, max_streams=args.max_streams,
+                         mesh=mesh)
         hops[name], srs[name] = scfg.hop_length, sr
         log(f"registered model {name!r} (hop {scfg.hop_length}, {sr} Hz)")
 
