@@ -59,12 +59,15 @@ class StreamingEnhancer:
     (MtfaaNet with a finite ``attention_window`` -- the deployable windowed
     configuration) enhance the RI spectrum directly through their own
     carried state (conv/TFCM histories, rolling ASA K/V, deep-filter
-    taps)."""
+    taps); the multi-mic McCruseNet streams [B, M, hop] frames through the
+    per-frame LPS+IPD front-end (frame-local math) and emits the enhanced
+    reference mic."""
 
     def __init__(self, model, variables, cfg: StftConfig):
         assert not cfg.center, "streaming path uses center=False configs"
         from cruse_tpu.models.cruse_df import CruseDfNet
         from cruse_tpu.models.mtfaa import MtfaaNet
+        from cruse_tpu.models.mc_cruse import McCruseNet
 
         self.model = model
         self.variables = variables
@@ -76,6 +79,7 @@ class StreamingEnhancer:
         self._num_bins = f
         self._is_df = isinstance(model, CruseDfNet)
         self._is_complex = isinstance(model, MtfaaNet)
+        self._is_mc = isinstance(model, McCruseNet)  # [B, M, hop] in, ref-mic out
         if self._is_complex:
             assert model.config.attention_window is not None, (
                 "MTFAA streaming needs a finite attention_window "
@@ -89,8 +93,12 @@ class StreamingEnhancer:
             from cruse_tpu.models.cruse_df import df_stream_init
 
             model_state = (model_state, df_stream_init(batch_size, self.model.config))
+        tail_shape = (
+            (batch_size, self.model.config.num_mics, n - hop)
+            if self._is_mc else (batch_size, n - hop)
+        )
         return StreamState(
-            input_tail=jnp.zeros((batch_size, n - hop)),
+            input_tail=jnp.zeros(tail_shape),
             ola_tail=jnp.zeros((batch_size, n - hop)),
             model_state=model_state,
         )
@@ -112,8 +120,24 @@ class StreamingEnhancer:
         # scale is traced here so the jitted step keeps int8 constants
         variables = dequantize_tree(self.variables)
         hop, f = self.cfg.hop_length, self._num_bins
-        frame = jnp.concatenate([state.input_tail, hop_samples], axis=-1)  # [B, n]
-        ri = frame @ self._ana  # [B, 2F] windowed DFT
+        frame = jnp.concatenate([state.input_tail, hop_samples], axis=-1)  # [B(, M), n]
+        ri = frame @ self._ana  # [B(, M), 2F] windowed DFT
+        if self._is_mc:
+            from cruse_tpu.dsp.features import directional_features_from_ri
+
+            cfg = self.model.config
+            # [B, M, 1, F, 2] single-frame RI stack -> per-frame LPS+IPD
+            # (frame-local math: layer norm is over frequency, so streaming
+            # features equal the offline computer's frame t column)
+            ri5 = jnp.stack([ri[..., :f], ri[..., f:]], axis=-1)[:, :, None]
+            feats = directional_features_from_ri(
+                ri5, cfg.mic_pairs, cfg.reference_channel, cfg.use_sin_ipd
+            )  # [B, 1, D]
+            mask, model_state = self.model.apply(variables, feats, state.model_state)
+            m = mask[:, 0, :]
+            ref = ri[:, cfg.reference_channel]
+            enh_ri = jnp.concatenate([ref[:, :f] * m, ref[:, f:] * m], axis=-1)
+            return self._finish(state, frame, enh_ri, model_state)
         real, imag = ri[:, :f], ri[:, f:]
         if self._is_complex:
             cspec = jnp.stack([real, imag], axis=-1)[:, None]  # [B, 1, F, 2]
@@ -123,7 +147,7 @@ class StreamingEnhancer:
             enh_ri = jnp.concatenate(
                 [jnp.real(enh[:, 0]), jnp.imag(enh[:, 0])], axis=-1
             )
-            return self._finish(state, frame, hop_samples, enh_ri, model_state)
+            return self._finish(state, frame, enh_ri, model_state)
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
         feat = self.model.compress(mag)[:, None, :]  # [B, 1, F]
         if self._is_df:
@@ -141,28 +165,34 @@ class StreamingEnhancer:
             mask, model_state = self.model.apply(variables, feat, state.model_state)
             m = mask[:, 0, :]
             enh_ri = jnp.concatenate([real * m, imag * m], axis=-1)  # [B, 2F]
-        return self._finish(state, frame, hop_samples, enh_ri, model_state)
+        return self._finish(state, frame, enh_ri, model_state)
 
-    def _finish(self, state, frame, hop_samples, enh_ri, model_state):
-        """Shared synthesis tail: windowed inverse frame + overlap-add."""
+    def _finish(self, state, frame, enh_ri, model_state):
+        """Shared synthesis tail: windowed inverse frame + overlap-add.
+        frame is [B, n] (or [B, M, n] multi-channel); the enhanced frame and
+        OLA tail are always single-channel [B, ...]."""
         hop = self.cfg.hop_length
         synth = enh_ri @ self._syn  # [B, n] windowed inverse frame
-        ola = jnp.concatenate([state.ola_tail, jnp.zeros_like(hop_samples)], axis=-1) + synth
+        ola = jnp.concatenate(
+            [state.ola_tail, jnp.zeros((synth.shape[0], hop), synth.dtype)], axis=-1
+        ) + synth
         out = ola[:, :hop] / self._env_hop
         return out, StreamState(
-            input_tail=frame[:, hop:],
+            input_tail=frame[..., hop:],
             ola_tail=ola[:, hop:],
             model_state=model_state,
         )
 
     def step(self, state: StreamState, hop_samples: jax.Array):
-        """One real-time hop. hop_samples: [B, hop] -> ([B, hop], new state)."""
+        """One real-time hop. hop_samples: [B, hop] ([B, M, hop] for the
+        multi-mic model) -> ([B, hop], new state)."""
         return self._step_jit(state, hop_samples)
 
     def _multi_impl(self, state: StreamState, samples: jax.Array, k: int):
         b = samples.shape[0]
         hop = self.cfg.hop_length
-        hops = samples.reshape(b, k, hop).transpose(1, 0, 2)
+        # [B(, M), k*hop] -> [k, B(, M), hop]
+        hops = jnp.moveaxis(samples.reshape(*samples.shape[:-1], k, hop), -2, 0)
 
         def scan_step(carry, x):
             out, new_carry = self._step_impl(carry, x)
@@ -194,15 +224,18 @@ class StreamingEnhancer:
         """Enhance a whole utterance with the streaming path under lax.scan.
 
         Primed with the first ``n_fft - hop`` samples so the output aligns
-        exactly with the offline center=False batch path. wav: [B, L];
+        exactly with the offline center=False batch path. wav: [B, L]
+        ([B, M, L] for the multi-mic model; output is the reference mic);
         returns [B, hop * num_frames] (= L - (n_fft - hop), rounded to hop).
         """
-        b, length = wav.shape
+        b = wav.shape[0]
         n, hop = self.cfg.n_fft, self.cfg.hop_length
-        state = self.prime(self.init_state(b), wav[:, : n - hop])
-        rest = wav[:, n - hop :]
+        state = self.prime(self.init_state(b), wav[..., : n - hop])
+        rest = wav[..., n - hop :]
         num_hops = rest.shape[-1] // hop
-        hops = rest[:, : num_hops * hop].reshape(b, num_hops, hop).transpose(1, 0, 2)
+        hops = jnp.moveaxis(
+            rest[..., : num_hops * hop].reshape(*rest.shape[:-1], num_hops, hop), -2, 0
+        )
 
         def scan_step(carry, x):
             out, new_carry = self._step_impl(carry, x)
@@ -217,12 +250,12 @@ class StreamingEnhancer:
         b = wav.shape[0]
         hop = self.cfg.hop_length
         state = self.init_state(b)
-        out, state = self.step(state, jnp.asarray(wav[:, :hop]))  # compile
+        out, state = self.step(state, jnp.asarray(wav[..., :hop]))  # compile
         jax.block_until_ready(out)
-        num = min(num_frames, wav.shape[1] // hop - 1)
+        num = min(num_frames, wav.shape[-1] // hop - 1)
         t0 = time.perf_counter()
         for i in range(1, num + 1):
-            out, state = self.step(state, jnp.asarray(wav[:, i * hop : (i + 1) * hop]))
+            out, state = self.step(state, jnp.asarray(wav[..., i * hop : (i + 1) * hop]))
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         return (dt / num) / (hop / sr)

@@ -56,8 +56,10 @@ def features_for_model(model, spec):
     if isinstance(model, McCruseNet):
         from cruse_tpu.dsp.features import directional_features_from_ri
 
-        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         c = model.config
+        if spec.ndim == 3:  # single-channel example (CLI init): tile mics
+            spec = jnp.repeat(spec[:, None], c.num_mics, axis=1)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         return directional_features_from_ri(
             ri, c.mic_pairs, c.reference_channel, c.use_sin_ipd
         )

@@ -280,3 +280,66 @@ def test_enhance_long_mesh_matches_sequential(tmp_path, rng):
         wav, chunk_seconds=1.0))
     assert par.shape == seq.shape == (1, 50000)
     np.testing.assert_allclose(par, seq, atol=2e-5)
+
+
+def test_streaming_mc_cruse_matches_offline(rng):
+    """Real-time multi-mic enhancement: McCruseNet streams [B, M, hop]
+    frames (per-frame LPS+IPD front-end is frame-local) and matches the
+    offline center=False directional path on the reference mic."""
+    from cruse_tpu.dsp.features import directional_features_from_ri
+    from cruse_tpu.dsp.stft import mc_stft
+    from cruse_tpu.models.mc_cruse import McCruseConfig, McCruseNet
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    mcfg = McCruseConfig(
+        mic_pairs=((0, 1), (0, 2)),
+        cruse=CruseConfig(in_freq=161, channels=(4, 8), rnn_groups=4),
+    )
+    model = McCruseNet(mcfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, mcfg.feature_dim)))
+    wav = rng.standard_normal((2, 3, 16000)).astype(np.float32) * 0.1
+
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    streamed = np.asarray(enhancer.run(jnp.asarray(wav)))
+
+    # offline reference: same features from the center=False MC spectrum
+    specs = mc_stft(jnp.asarray(wav), cfg)  # [B, M, T, F]
+    ri = jnp.stack([jnp.real(specs), jnp.imag(specs)], axis=-1)
+    feats = directional_features_from_ri(
+        ri, mcfg.mic_pairs, mcfg.reference_channel, mcfg.use_sin_ipd)
+    mask, _ = model.apply(variables, feats)
+    offline = np.asarray(
+        istft(specs[:, mcfg.reference_channel] * mask, cfg))
+
+    n = cfg.n_fft
+    m = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n], atol=1e-4)
+
+
+def test_streaming_mc_step_api(rng):
+    """Per-hop multi-mic step + step_multi consistency."""
+    from cruse_tpu.models.mc_cruse import McCruseConfig, McCruseNet
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    mcfg = McCruseConfig(
+        mic_pairs=((0, 1),),
+        cruse=CruseConfig(in_freq=161, channels=(4, 8), rnn_groups=4),
+    )
+    model = McCruseNet(mcfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, mcfg.feature_dim)))
+    enh = StreamingEnhancer(model, variables, cfg)
+    wav = jnp.asarray(rng.standard_normal((1, 2, 160 * 6)).astype(np.float32) * 0.1)
+
+    s1 = enh.init_state(1)
+    outs = []
+    for i in range(6):
+        o, s1 = enh.step(s1, wav[..., i * 160 : (i + 1) * 160])
+        assert o.shape == (1, 160)
+        outs.append(np.asarray(o))
+    seq = np.concatenate(outs, axis=-1)
+
+    s2 = enh.init_state(1)
+    multi, _ = enh.step_multi(s2, wav[..., : 3 * 160])
+    np.testing.assert_allclose(np.asarray(multi), seq[:, : 3 * 160], atol=1e-6)

@@ -86,11 +86,13 @@ def main():
         from cruse_tpu.models.dfsmn import DfsmnNet as _DN
         from cruse_tpu.models.cruse_df import CruseDfNet as _CDN
         from cruse_tpu.models.mtfaa import MtfaaNet as _MN
+        from cruse_tpu.models.mc_cruse import McCruseNet as _MCN
 
-        assert isinstance(model, (_CN, _DN, _CDN, _MN)), (
+        assert isinstance(model, (_CN, _DN, _CDN, _MN, _MCN)), (
             "--streaming supports CRUSE/DFSMN (magnitude mask), CRUSE+DF, "
-            "and MTFAA with a finite attention_window"
+            "MTFAA with a finite attention_window, and multi-mic McCruse"
         )
+        is_mc = isinstance(model, _MCN)
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
         enhancer = StreamingEnhancer(model, variables, scfg)
         out_dir = Path(args.output_dir)
@@ -98,24 +100,27 @@ def main():
         k = max(args.hops_per_step, 1)
         hop = int(ac["hop_length"])
         for f in files:
-            wav, _ = read_wav(f, sr=sr)
+            # multi-mic models stream [1, M, hop] frames (enhanced output is
+            # the reference mic); all indexing below is channel-agnostic
+            wav, _ = read_wav(f, sr=sr, mono=not is_mc)
             rtf = enhancer.measure_rtf(wav[None], sr=sr, num_frames=20)
             if k > 1:
                 # k-hop dispatches: same samples, k-fold fewer device calls
                 state = enhancer.prime(enhancer.init_state(1),
-                                       jnp.asarray(wav[None, : enhancer.cfg.n_fft - hop]))
-                rest = wav[enhancer.cfg.n_fft - hop :]
-                n_chunks = len(rest) // (k * hop)
+                                       jnp.asarray(wav[None][..., : enhancer.cfg.n_fft - hop]))
+                rest = wav[..., enhancer.cfg.n_fft - hop :]
+                n_hops_total = rest.shape[-1] // hop
+                n_chunks = rest.shape[-1] // (k * hop)
                 outs = []
                 for i in range(n_chunks):
-                    x = jnp.asarray(rest[None, i * k * hop : (i + 1) * k * hop])
+                    x = jnp.asarray(rest[None][..., i * k * hop : (i + 1) * k * hop])
                     o, state = enhancer.step_multi(state, x)
                     outs.append(np.asarray(o))
                 # tail: process remaining whole hops one-by-one so output
                 # length is independent of k (only < hop samples dropped,
                 # matching the k=1 run() path)
-                for j in range(n_chunks * k, len(rest) // hop):
-                    x = jnp.asarray(rest[None, j * hop : (j + 1) * hop])
+                for j in range(n_chunks * k, n_hops_total):
+                    x = jnp.asarray(rest[None][..., j * hop : (j + 1) * hop])
                     o, state = enhancer.step(state, x)
                     outs.append(np.asarray(o))
                 out = np.concatenate(outs, axis=-1)[0] if outs else np.zeros(0, np.float32)
