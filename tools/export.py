@@ -84,16 +84,22 @@ def main():
             variables = _quantize(variables)
         enhancer = StreamingEnhancer(model, variables, stream_cfg)
         state = enhancer.init_state(args.batch)
-        hop = jnp.zeros((args.batch, stream_cfg.hop_length), jnp.float32)
+        hop_shape = (
+            (args.batch, model.config.num_mics, stream_cfg.hop_length)
+            if enhancer._is_mc else (args.batch, stream_cfg.hop_length)
+        )
+        hop = jnp.zeros(hop_shape, jnp.float32)
         exported = jexport.export(jax.jit(enhancer._step_impl))(state, hop)
         blob = exported.serialize()
         with open(args.output, "wb") as f:
             f.write(blob)
         log(f"exported {len(blob)/1e6:.2f} MB streaming step "
-            f"(B={args.batch}, hop={stream_cfg.hop_length}) -> {args.output}")
+            f"(B={args.batch}, hop={stream_cfg.hop_length}"
+            + (f", mics={hop_shape[1]}" if enhancer._is_mc else "") + ") "
+            f"-> {args.output}")
         reloaded = jexport.deserialize(open(args.output, "rb").read())
         out, new_state = reloaded.call(state, hop)
-        assert out.shape == hop.shape
+        assert out.shape == (args.batch, stream_cfg.hop_length)
         log("reload check OK")
         return
 
