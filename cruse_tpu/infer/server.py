@@ -44,6 +44,8 @@ class StreamingServer:
                 f"{n_dev} data-axis devices")
         self.max_streams = max_streams
         self.hop = cfg.hop_length
+        # multi-mic sessions buffer [M, samples] and emit the reference mic
+        self._mics = (model.config.num_mics if self.enhancer._is_mc else 0)
         self._state = self._place(self.enhancer.init_state(max_streams))
         self._fresh = self.enhancer.init_state(1)  # template for slot resets
         self._active = np.zeros(max_streams, bool)
@@ -66,7 +68,8 @@ class StreamingServer:
             raise RuntimeError(f"all {self.max_streams} stream slots busy")
         sid = int(free[0])
         self._active[sid] = True
-        self._buffers[sid] = np.zeros(0, np.float32)
+        self._buffers[sid] = np.zeros(
+            (self._mics, 0) if self._mics else 0, np.float32)
         # reset the slot's state to fresh (re-placed so the slot axis keeps
         # its mesh sharding after the scatter)
         self._state = self._place(jax.tree_util.tree_map(
@@ -85,12 +88,13 @@ class StreamingServer:
         output the same length as the input, modulo the stream's inherent
         one-frame assembly delay). The session stays open."""
         assert self._active[sid], f"stream {sid} is not open"
-        pending = len(self._buffers[sid])
+        pending = self._buffers[sid].shape[-1]
         if pending == 0:
             return np.zeros(0, np.float32)
         pad = (-pending) % self.hop
         if pad:
-            self.feed(sid, np.zeros(pad, np.float32))
+            self.feed(sid, np.zeros(
+                (self._mics, pad) if self._mics else pad, np.float32))
         outs = []
         while self.ready(sid):
             res = self.step(only=(sid,))  # other sessions' hops stay queued
@@ -99,12 +103,19 @@ class StreamingServer:
 
     def feed(self, sid: int, samples: np.ndarray) -> None:
         assert self._active[sid], f"stream {sid} is not open"
+        samples = np.asarray(samples, np.float32)
+        if self._mics:
+            assert samples.ndim == 2 and samples.shape[0] == self._mics, (
+                f"multi-mic stream expects [M={self._mics}, k] samples, "
+                f"got {samples.shape}")
+        else:
+            samples = samples.ravel()
         self._buffers[sid] = np.concatenate(
-            [self._buffers[sid], np.asarray(samples, np.float32).ravel()]
+            [self._buffers[sid], samples], axis=-1
         )
 
     def ready(self, sid: int) -> bool:
-        return self._active[sid] and len(self._buffers[sid]) >= self.hop
+        return self._active[sid] and self._buffers[sid].shape[-1] >= self.hop
 
     # ---- the batched device step ----
 
@@ -123,14 +134,16 @@ class StreamingServer:
         slots process zeros but neither consume input nor advance state).
         `only` restricts the step to a subset of session ids (used by
         `drain` so flushing one session leaves the others' queues alone)."""
-        hops = np.zeros((self.max_streams, self.hop), np.float32)
+        hop_shape = ((self.max_streams, self._mics, self.hop)
+                     if self._mics else (self.max_streams, self.hop))
+        hops = np.zeros(hop_shape, np.float32)
         stepped: List[int] = []
         for sid, buf in self._buffers.items():
             if only is not None and sid not in only:
                 continue
-            if len(buf) >= self.hop:
-                hops[sid] = buf[: self.hop]
-                self._buffers[sid] = buf[self.hop :]
+            if buf.shape[-1] >= self.hop:
+                hops[sid] = buf[..., : self.hop]
+                self._buffers[sid] = buf[..., self.hop :]
                 stepped.append(sid)
         if not stepped:
             return {}
@@ -144,7 +157,8 @@ class StreamingServer:
 
     def ready_sessions(self) -> List[int]:
         """Session ids with at least one full hop buffered."""
-        return [sid for sid, buf in self._buffers.items() if len(buf) >= self.hop]
+        return [sid for sid, buf in self._buffers.items()
+                if buf.shape[-1] >= self.hop]
 
     def run_session(self, wav: np.ndarray, sid: Optional[int] = None) -> np.ndarray:
         """Convenience: push one utterance through a (new) session and return

@@ -122,7 +122,7 @@ def main():
         log(f"serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     server = MultiModelServer()
-    hops, srs = {}, {}
+    hops, srs, mics = {}, {}, {}
     for spec in args.model:
         name, rest = spec.split("=", 1)
         config_path, ckpt = rest.rsplit(":", 1)
@@ -130,6 +130,7 @@ def main():
         server.add_model(name, model, variables, scfg, max_streams=args.max_streams,
                          mesh=mesh)
         hops[name], srs[name] = scfg.hop_length, sr
+        mics[name] = server._pools[name]._mics  # 0 = single-channel
         log(f"registered model {name!r} (hop {scfg.hop_length}, {sr} Hz)")
 
     default_model = args.model[0].split("=", 1)[0]
@@ -154,7 +155,8 @@ def main():
             except RuntimeError:
                 return  # pool full; wait for a drain
             queue.pop(0)
-            wav, _ = read_wav(path, sr=srs[model_name])
+            wav, _ = read_wav(path, sr=srs[model_name],
+                              mono=not mics[model_name])
             live[handle] = {"name": Path(path).stem, "model": model_name,
                             "wav": wav.astype(np.float32), "pos": 0,
                             "outs": [], "t": time.perf_counter(),
@@ -165,10 +167,10 @@ def main():
         # feed every live session its next chunk of input
         for handle, s in list(live.items()):
             chunk = args.feed_chunk * hops[s["model"]]
-            nxt = s["wav"][s["pos"] : s["pos"] + chunk]
-            if len(nxt):
+            nxt = s["wav"][..., s["pos"] : s["pos"] + chunk]
+            if nxt.shape[-1]:
                 server.feed(handle, nxt)
-                s["pos"] += len(nxt)
+                s["pos"] += nxt.shape[-1]
         # one scheduler iteration
         budget = args.max_dispatches if args.max_dispatches > 0 else None
         for handle, hop_out in server.step(max_dispatches=budget).items():
@@ -176,7 +178,7 @@ def main():
             total_hops += 1
         # retire exhausted sessions: drain, write, free the slot
         for handle, s in list(live.items()):
-            if s["pos"] >= len(s["wav"]) and not server.ready(handle):
+            if s["pos"] >= s["wav"].shape[-1] and not server.ready(handle):
                 tail = server.drain(handle)
                 if len(tail):
                     s["outs"].append(tail)
@@ -184,7 +186,7 @@ def main():
                 out = (np.concatenate(s["outs"])
                        if s["outs"] else np.zeros(0, np.float32))
                 dt = time.perf_counter() - s["t"]
-                audio = len(s["wav"]) / srs[s["model"]]
+                audio = s["wav"].shape[-1] / srs[s["model"]]
                 write_wav(str(out_dir / f"{s['name']}.wav"),
                           to_int16_scaled(out), srs[s["model"]])
                 log(f"  {s['name']} ({s['model']}, prio {s['priority']}): "
