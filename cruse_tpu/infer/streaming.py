@@ -68,6 +68,7 @@ class StreamingEnhancer:
         from cruse_tpu.models.cruse_df import CruseDfNet
         from cruse_tpu.models.mtfaa import MtfaaNet
         from cruse_tpu.models.mc_cruse import McCruseNet
+        from cruse_tpu.models.fullsubnet import FullSubNet
 
         self.model = model
         self.variables = variables
@@ -80,10 +81,18 @@ class StreamingEnhancer:
         self._is_df = isinstance(model, CruseDfNet)
         self._is_complex = isinstance(model, MtfaaNet)
         self._is_mc = isinstance(model, McCruseNet)  # [B, M, hop] in, ref-mic out
+        self._is_cirm = isinstance(model, FullSubNet)  # complex-mask head
         if self._is_complex:
             assert model.config.attention_window is not None, (
                 "MTFAA streaming needs a finite attention_window "
                 "(the full-causal configuration cannot carry ASA state)")
+        if self._is_cirm:
+            assert model.config.norm == "cumulative_laplace_norm", (
+                "FullSubNet streaming needs norm='cumulative_laplace_norm' "
+                "(the offline norms read the whole utterance by construction)")
+            assert model.config.look_ahead == 0, (
+                "FullSubNet streaming needs look_ahead=0 (the look-ahead "
+                "variant delays the output by future frames)")
         self._step_jit = jax.jit(self._step_impl)
 
     def init_state(self, batch_size: int) -> StreamState:
@@ -150,6 +159,14 @@ class StreamingEnhancer:
             return self._finish(state, frame, enh_ri, model_state)
         mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
         feat = self.model.compress(mag)[:, None, :]  # [B, 1, F]
+        if self._is_cirm:
+            from cruse_tpu.dsp.mask import decompress_cirm, complex_mul
+
+            crm, model_state = self.model.apply(variables, feat, state.model_state)
+            crm = decompress_cirm(crm)[:, 0]  # [B, F, 2]
+            r, i = complex_mul(real, imag, crm[..., 0], crm[..., 1])
+            enh_ri = jnp.concatenate([r, i], axis=-1)
+            return self._finish(state, frame, enh_ri, model_state)
         if self._is_df:
             from cruse_tpu.models.cruse_df import apply_cruse_df_streaming
 

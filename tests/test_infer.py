@@ -343,3 +343,49 @@ def test_streaming_mc_step_api(rng):
     s2 = enh.init_state(1)
     multi, _ = enh.step_multi(s2, wav[..., : 3 * 160])
     np.testing.assert_allclose(np.asarray(multi), seq[:, : 3 * 160], atol=1e-6)
+
+
+def test_streaming_fullsubnet_matches_offline(rng):
+    """FullSubNet (cumulative norm, no look-ahead) streams frame-by-frame
+    through the unified enhancer: per-hop cIRM application matches the
+    offline center=False complex-mask path exactly (the cumulative norm
+    carry makes chunked == full-sequence by construction)."""
+    from cruse_tpu.dsp.mask import decompress_cirm, complex_mul
+    from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model = FullSubNet(FullSubNetConfig(
+        num_freqs=161, num_neighbors=2, fb_hidden=16, fb_layers=1,
+        sb_hidden=12, sb_layers=1, norm="cumulative_laplace_norm"))
+    mag0 = jnp.zeros((1, 4, 161))
+    variables = model.init(jax.random.PRNGKey(0), mag0)
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+
+    enhancer = StreamingEnhancer(model, variables, cfg)
+    streamed = np.asarray(enhancer.run(jnp.asarray(wav)))
+
+    spec = stft(jnp.asarray(wav), cfg)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-12)
+    crm, _ = model.apply(variables, mag, model.init_state(2))
+    crm = decompress_cirm(crm)
+    r, i = complex_mul(jnp.real(spec), jnp.imag(spec), crm[..., 0], crm[..., 1])
+    offline = np.asarray(istft(jax.lax.complex(r, i), cfg))
+
+    n = cfg.n_fft
+    m = min(streamed.shape[-1], offline.shape[-1])
+    np.testing.assert_allclose(streamed[:, n : m - n], offline[:, n : m - n], atol=1e-4)
+
+
+def test_streaming_fullsubnet_guards(rng):
+    """Offline norms and look-ahead are rejected with actionable messages."""
+    import pytest
+    from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig
+
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    for bad in (FullSubNetConfig(num_freqs=161, norm="offline_laplace_norm"),
+                FullSubNetConfig(num_freqs=161, norm="cumulative_laplace_norm",
+                                 look_ahead=2)):
+        model = FullSubNet(bad)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 161)))
+        with pytest.raises(AssertionError):
+            StreamingEnhancer(model, variables, cfg)

@@ -87,10 +87,12 @@ def main():
         from cruse_tpu.models.cruse_df import CruseDfNet as _CDN
         from cruse_tpu.models.mtfaa import MtfaaNet as _MN
         from cruse_tpu.models.mc_cruse import McCruseNet as _MCN
+        from cruse_tpu.models.fullsubnet import FullSubNet as _FSN
 
-        assert isinstance(model, (_CN, _DN, _CDN, _MN, _MCN)), (
+        assert isinstance(model, (_CN, _DN, _CDN, _MN, _MCN, _FSN)), (
             "--streaming supports CRUSE/DFSMN (magnitude mask), CRUSE+DF, "
-            "MTFAA with a finite attention_window, and multi-mic McCruse"
+            "MTFAA with a finite attention_window, multi-mic McCruse, and "
+            "FullSubNet with cumulative norms"
         )
         is_mc = isinstance(model, _MCN)
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)
