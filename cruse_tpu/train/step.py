@@ -50,6 +50,8 @@ class StepConfig:
     learning_rate: float = 5e-4
     beta1: float = 0.9
     beta2: float = 0.999
+    weight_decay: float = 0.0  # >0 switches Adam -> AdamW (decoupled decay;
+    # the reference runs plain Adam, tools/train_stand.py:68-71)
     clip_grad_norm: float = 10.0
     loss_weights: tuple = (("si_snr", 1.0), ("spec", 1.0))
     balancer_ema: float = 0.999
@@ -101,10 +103,12 @@ def make_lr(cfg: StepConfig):
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.clip_grad_norm),
-        optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2),
-    )
+    if cfg.weight_decay > 0:
+        inner = optax.adamw(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2,
+                            weight_decay=cfg.weight_decay)
+    else:
+        inner = optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), inner)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx

@@ -392,3 +392,31 @@ def test_preload_stale_layout_fails_loudly(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="0 of"):
         preload_params(stale, state.params)
+
+
+def test_weight_decay_optimizer():
+    """[optimizer] weight_decay > 0 switches to decoupled AdamW: zero
+    gradients still shrink params toward zero, while plain Adam leaves
+    them untouched (the reference runs fixed-LR Adam only)."""
+    import jax.numpy as jnp
+    import optax
+
+    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.train.step import StepConfig, make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def run(cfg):
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        upd, _ = tx.update(zeros, st, params)
+        return optax.apply_updates(params, upd)
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    plain = run(StepConfig(stft=scfg))
+    decayed = run(StepConfig(stft=scfg, weight_decay=0.1))
+    np.testing.assert_allclose(np.asarray(plain["w"]), 1.0)
+    assert np.all(np.asarray(decayed["w"]) < 1.0)
+    # biases (zeros) stay zero either way
+    np.testing.assert_allclose(np.asarray(decayed["b"]), 0.0)
