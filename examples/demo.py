@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """End-to-end walkthrough: corpus -> train -> enhance -> stream -> serve ->
-export.
+export -> quantize.
 
 Runs in a few minutes on CPU (set JAX_PLATFORMS=cpu) or on a TPU chip.
 Everything a reference-stack user needs to switch, in one file:
@@ -12,6 +12,11 @@ Everything a reference-stack user needs to switch, in one file:
   5. stream the same wav frame-by-frame (sample-exact path)
   6. serve two concurrent live sessions through the StreamingServer
   7. export the enhancement graph as a self-contained artifact
+  8. int8-quantize the weights and check the quality gate
+
+(Scale-out versions of steps 4-6 — sharding utterance batches, long-audio
+chunks, or server slots over a device mesh — are one flag away on the
+CLIs: `tools/infer.py -N`, `tools/serve.py -N`.)
 """
 import os
 import sys
@@ -59,7 +64,7 @@ def main():
     write_manifest(clean[4:], f"{root}/clean_valid.txt")
     write_manifest(noise[:4], f"{root}/noise_train.txt")
     write_manifest(noise[4:], f"{root}/noise_valid.txt")
-    log(f"[1/7] corpus at {root}")
+    log(f"[1/8] corpus at {root}")
 
     # 2. datasets (host selection + on-device mixing) -----------------------
     mk = lambda c, n, bs: SynMixDataset(SynMixConfig(
@@ -68,7 +73,7 @@ def main():
     ))
     train_ds = mk(f"{root}/clean_train.txt", f"{root}/noise_train.txt", 4)
     valid_ds = mk(f"{root}/clean_valid.txt", f"{root}/noise_valid.txt", 2)
-    log("[2/7] datasets ready")
+    log("[2/8] datasets ready")
 
     # 3. train --------------------------------------------------------------
     scfg = StftConfig(n_fft=320, hop_length=160)
@@ -86,7 +91,7 @@ def main():
         writer=False,
     )
     trainer.train()
-    log("[3/7] trained 3 epochs")
+    log("[3/8] trained 3 epochs")
     variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
 
     # 4. batch inference ----------------------------------------------------
@@ -95,13 +100,13 @@ def main():
     inf = BatchInferencer(model, variables, InferencerConfig(
         stft=scfg, output_dir=f"{root}/enhanced"))
     inf([{"noisy": noisy_wav[None], "name": ["demo"]}])
-    log("[4/7] batch enhancement written")
+    log("[4/8] batch enhancement written")
 
     # 5. streaming ----------------------------------------------------------
     s_cfg = StftConfig(n_fft=320, hop_length=160, center=False)
     enhancer = StreamingEnhancer(model, variables, s_cfg)
     rtf = enhancer.measure_rtf(noisy_wav[None], sr=sr, num_frames=20)
-    log(f"[5/7] streaming RTF: {rtf:.4f} (frame-by-frame, sample-exact path)")
+    log(f"[5/8] streaming RTF: {rtf:.4f} (frame-by-frame, sample-exact path)")
 
     # 6. concurrent serving ---------------------------------------------------
     from cruse_tpu.infer.server import StreamingServer
@@ -115,7 +120,7 @@ def main():
         hops += len(server.step())
     server.close(s1)
     server.close(s2)
-    log(f"[6/7] served 2 concurrent sessions in one device step each hop ({hops} hops)")
+    log(f"[6/8] served 2 concurrent sessions in one device step each hop ({hops} hops)")
 
     # 7. export -------------------------------------------------------------
     from jax import export as jexport
@@ -130,7 +135,20 @@ def main():
     with open(f"{root}/cruse.jaxexport", "wb") as f:
         f.write(blob)
     out = jexport.deserialize(blob).call(jnp.asarray(noisy_wav[None]))
-    log(f"[7/7] exported {len(blob)/1e6:.1f} MB graph; reload check {np.isfinite(np.asarray(out)).all()}")
+    log(f"[7/8] exported {len(blob)/1e6:.1f} MB graph; reload check {np.isfinite(np.asarray(out)).all()}")
+
+    # 8. int8 deployment ------------------------------------------------------
+    from cruse_tpu.nn.quantize import quantize_variables, quantization_report
+
+    qvars = quantize_variables(variables)
+    rep = quantization_report(qvars["params"])
+    qinf = BatchInferencer(model, qvars, InferencerConfig(
+        stft=scfg, output_dir=f"{root}/enhanced_q8"))
+    fp = np.asarray(inf._strategy(jnp.asarray(noisy_wav[None])))
+    q8 = np.asarray(qinf._strategy(jnp.asarray(noisy_wav[None])))
+    snr = 10 * np.log10(np.mean(fp**2) / (np.mean((fp - q8) ** 2) + 1e-12))
+    log(f"[8/8] int8 weights: {rep['bytes_fp32']/1e6:.2f} -> "
+        f"{rep['bytes_quantized']/1e6:.2f} MB params, {snr:.1f} dB vs fp32")
     log(f"demo complete -- artifacts in {root}")
 
 
