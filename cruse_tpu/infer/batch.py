@@ -175,7 +175,9 @@ class BatchInferencer:
             pad_rows = (-n) % n_dev
             flat = tiles.reshape(n, *tiles.shape[2:])
             if pad_rows:
-                flat = jnp.concatenate([flat, flat[:pad_rows]])
+                # modular indexing: pad_rows can exceed n (short recording on
+                # a wide mesh), so cycle the real rows rather than slice
+                flat = jnp.concatenate([flat, flat[jnp.arange(pad_rows) % n]])
             out = self._strategy(shard_batch(self.mesh, flat))[:n]
             outs = [out[i * b : (i + 1) * b] for i in range(len(starts))]
         else:

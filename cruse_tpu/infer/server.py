@@ -71,9 +71,18 @@ class StreamingServer:
         self._buffers[sid] = np.zeros(
             (self._mics, 0) if self._mics else 0, np.float32)
         # reset the slot's state to fresh (re-placed so the slot axis keeps
-        # its mesh sharding after the scatter)
+        # its mesh sharding after the scatter). A leaf's leading dim may be
+        # slots*rep (FullSubNet's folded sub-band units): the fresh template
+        # (batch=1) then has leading dim rep, and the slot owns rows
+        # [sid*rep, (sid+1)*rep).
+        def reset_slot(full, fresh):
+            rep = full.shape[0] // self.max_streams
+            return jax.lax.dynamic_update_slice_in_dim(
+                full, fresh.astype(full.dtype), sid * rep, axis=0
+            )
+
         self._state = self._place(jax.tree_util.tree_map(
-            lambda full, fresh: full.at[sid].set(fresh[0]), self._state, self._fresh
+            reset_slot, self._state, self._fresh
         ))
         return sid
 
@@ -121,10 +130,16 @@ class StreamingServer:
 
     def _step_impl(self, state, hops, active):
         out, new_state = self.enhancer._step_impl(state, hops)
-        # idle slots keep their (fresh) state so a later `open` starts clean
-        keep = lambda n, o: jnp.where(
-            active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
-        )
+
+        # idle slots keep their (fresh) state so a later `open` starts clean.
+        # State leaves are slot-major but may carry a per-slot factor in the
+        # leading dim (FullSubNet folds its F sub-band units into it:
+        # [slots*F, hidden]), so the mask expands by that factor.
+        def keep(n, o):
+            rep = n.shape[0] // self.max_streams
+            a = jnp.repeat(active, rep) if rep > 1 else active
+            return jnp.where(a.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+
         new_state = jax.tree_util.tree_map(keep, new_state, state)
         return out, new_state
 

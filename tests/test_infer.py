@@ -389,3 +389,25 @@ def test_streaming_fullsubnet_guards(rng):
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 161)))
         with pytest.raises(AssertionError):
             StreamingEnhancer(model, variables, cfg)
+
+
+def test_enhance_long_mesh_short_recording(tmp_path, rng):
+    """A recording with fewer chunks than mesh devices must still shard
+    (the filler rows cycle the real chunks instead of over-slicing)."""
+    from cruse_tpu.parallel.mesh import make_mesh
+
+    model, variables = _model_and_vars()
+    cfg = InferencerConfig(
+        type="mag_to_mag",
+        stft=StftConfig(n_fft=320, hop_length=160),
+        output_dir=str(tmp_path / "s"),
+    )
+    mesh = make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+    # 21000 samples at 1 s chunks -> 2 chunks on 8 devices (pad_rows=6 > n=2)
+    wav = jnp.asarray(rng.standard_normal((1, 21000)).astype(np.float32) * 0.1)
+    seq = np.asarray(BatchInferencer(model, variables, cfg).enhance_long(
+        wav, chunk_seconds=1.0))
+    par = np.asarray(BatchInferencer(model, variables, cfg, mesh=mesh).enhance_long(
+        wav, chunk_seconds=1.0))
+    assert par.shape == seq.shape == (1, 21000)
+    np.testing.assert_allclose(par, seq, atol=2e-5)

@@ -264,3 +264,37 @@ def test_server_streams_multi_mic(rng):
     sid = server.open()
     with pytest.raises(AssertionError):
         server.feed(sid, rng.standard_normal(160).astype(np.float32))
+
+
+def test_server_streams_fullsubnet(rng):
+    """FullSubNet state leaves fold the F sub-band units into the slot axis
+    ([slots*F, hidden]); the server's idle-state mask and slot reset must
+    expand by that factor, and a reused slot must start clean."""
+    from cruse_tpu.models.fullsubnet import FullSubNet, FullSubNetConfig
+
+    cfg = StftConfig(n_fft=64, hop_length=32, center=False)
+    model = FullSubNet(FullSubNetConfig(
+        num_freqs=33, num_neighbors=1, fb_hidden=8, fb_layers=1,
+        sb_hidden=6, sb_layers=1, norm="cumulative_laplace_norm"))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 33)))
+    server = StreamingServer(model, variables, cfg, max_streams=2)
+    wav = rng.standard_normal(32 * 8).astype(np.float32) * 0.1
+
+    got = server.run_session(wav)
+    assert got.shape == (32 * 8,) and np.isfinite(got).all()
+
+    # slot reuse: a second identical session must produce identical output
+    # (stale sub-band GRU / cumulative-norm carries would change it)
+    again = server.run_session(wav)
+    np.testing.assert_allclose(again, got, atol=1e-6)
+
+    # and a session that ran alongside other traffic matches a solo run
+    a, b = server.open(), server.open()
+    server.feed(a, wav)
+    server.feed(b, wav[::-1].copy())
+    outs = []
+    while server.ready(a):
+        res = server.step()
+        outs.append(res[a])
+    server.close(a), server.close(b)
+    np.testing.assert_allclose(np.concatenate(outs), got, atol=1e-5)

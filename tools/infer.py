@@ -82,6 +82,12 @@ def main():
     assert files, f"no wavs found under {inp}"
 
     if args.streaming:
+        if args.num_devices > 1 or args.batch > 1 or args.chunk_seconds > 0:
+            raise SystemExit(
+                "--streaming is the single-device low-latency path; it does "
+                "not compose with -N/--batch/--chunk_seconds (use the batch "
+                "mode for mesh scale-out, or tools/serve.py -N for sharded "
+                "concurrent streams)")
         from cruse_tpu.models import CruseNet as _CN
         from cruse_tpu.models.dfsmn import DfsmnNet as _DN
         from cruse_tpu.models.cruse_df import CruseDfNet as _CDN
@@ -155,12 +161,17 @@ def main():
                 mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n])
                 log(f"batched inference over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         inferencer = BatchInferencer(model, variables, icfg, mesh=mesh)
+        # multi-channel strategies need [C, L] wavs, not a mono downmix
+        from cruse_tpu.models.mc_cruse import McCruseNet as _MCN2
+
+        mono = not (isinstance(model, _MCN2)
+                    or icfg.type.startswith("multi_channel"))
         if args.chunk_seconds > 0:
             import time
 
             out_dir = Path(args.output_dir)
             for f in files:
-                wav, _ = read_wav(f, sr=sr)
+                wav, _ = read_wav(f, sr=sr, mono=mono)
                 t1 = time.time()
                 out = np.asarray(inferencer.enhance_long(
                     jnp.asarray(wav[None]), chunk_seconds=args.chunk_seconds))[0]
@@ -169,11 +180,12 @@ def main():
                     f"{args.chunk_seconds:.0f}s chunks), rtf: {rtf}")
                 write_wav(str(out_dir / f"{Path(f).stem}.wav"), to_int16_scaled(out), sr)
         elif mesh is not None or args.batch > 1:
-            wavs = [read_wav(f, sr=sr)[0] for f in files]
+            wavs = [read_wav(f, sr=sr, mono=mono)[0] for f in files]
             inferencer.run_batched(wavs, [Path(f).stem for f in files],
                                    batch_size=args.batch or None)
         else:
-            batches = ({"noisy": read_wav(f, sr=sr)[0][None], "name": [Path(f).stem]} for f in files)
+            batches = ({"noisy": read_wav(f, sr=sr, mono=mono)[0][None],
+                        "name": [Path(f).stem]} for f in files)
             inferencer(batches)
 
 
