@@ -104,8 +104,14 @@ def make_lr(cfg: StepConfig):
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
     if cfg.weight_decay > 0:
-        inner = optax.adamw(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2,
-                            weight_decay=cfg.weight_decay)
+        # decay weight matrices/kernels only -- biases and norm scales are
+        # 1-D and pulling them to zero hurts (standard AdamW masking)
+        inner = optax.adamw(
+            make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2,
+            weight_decay=cfg.weight_decay,
+            mask=lambda params: jax.tree_util.tree_map(
+                lambda p: p.ndim >= 2, params),
+        )
     else:
         inner = optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2)
     tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), inner)

@@ -396,15 +396,16 @@ def test_preload_stale_layout_fails_loudly(tmp_path, rng):
 
 def test_weight_decay_optimizer():
     """[optimizer] weight_decay > 0 switches to decoupled AdamW: zero
-    gradients still shrink params toward zero, while plain Adam leaves
-    them untouched (the reference runs fixed-LR Adam only)."""
+    gradients still shrink weight matrices toward zero (1-D leaves are
+    masked out), while plain Adam leaves everything untouched (the
+    reference runs fixed-LR Adam only)."""
     import jax.numpy as jnp
     import optax
 
     from cruse_tpu.dsp.stft import StftConfig
     from cruse_tpu.train.step import StepConfig, make_optimizer
 
-    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     def run(cfg):
@@ -418,5 +419,5 @@ def test_weight_decay_optimizer():
     decayed = run(StepConfig(stft=scfg, weight_decay=0.1))
     np.testing.assert_allclose(np.asarray(plain["w"]), 1.0)
     assert np.all(np.asarray(decayed["w"]) < 1.0)
-    # biases (zeros) stay zero either way
-    np.testing.assert_allclose(np.asarray(decayed["b"]), 0.0)
+    # 1-D leaves (biases, norm scales) are masked out of the decay
+    np.testing.assert_allclose(np.asarray(decayed["b"]), 1.0)
