@@ -94,6 +94,7 @@ class SynMixDataset:
         # mixer draws uniformly over the same integer range (mixer.py)
         self.length = int(c.dataset_length) if c.dataset_length else len(self.clean_list)
         self._epoch = 0  # advances the default mixing key across epochs
+        self._rir_cache: dict = {}  # path -> decoded [M, rir_len] (read-only)
         self.rng = np.random.default_rng(c.seed)
         self.sub_len = int(c.sub_sample_seconds * c.sr)
         self.rir_len = int(c.rir_max_seconds * c.sr)
@@ -199,17 +200,27 @@ class SynMixDataset:
     def _select_rir_mc(self, rir_list: List[str]) -> np.ndarray:
         """A random measured array RIR, padded/cropped to the static device
         shape [num_mics, rir_len]. The file must carry at least num_mics
-        channels; extra channels are dropped."""
+        channels; extra channels are dropped.
+
+        Decoded RIRs are cached per path: the corpus is small and immutable
+        and every batch draws 2*B of them, so re-reading + resampling from
+        disk each step would serialize real host work into the batch loop."""
+        path = rir_list[self.rng.integers(len(rir_list))]
+        cached = self._rir_cache.get(path)
+        if cached is not None:
+            return cached
         m = self.cfg.num_mics
         out = np.zeros((m, self.rir_len), np.float32)
-        wav, _ = read_wav(rir_list[self.rng.integers(len(rir_list))],
-                          sr=self.cfg.sr, mono=False)
+        wav, _ = read_wav(path, sr=self.cfg.sr, mono=False)
         if wav.ndim == 1:
             wav = wav[None, :]
         assert wav.shape[0] >= m, (
             f"measured RIR has {wav.shape[0]} channels < num_mics={m}")
         n = min(wav.shape[1], self.rir_len)
         out[:, :n] = wav[:m, :n]
+        out.setflags(write=False)
+        if len(self._rir_cache) < 4096:  # ~2.6 MB per 0.5 s 4-mic entry
+            self._rir_cache[path] = out
         return out
 
     def _native_select(self, file_list: List[str], b: int):

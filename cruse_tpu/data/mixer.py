@@ -265,10 +265,11 @@ def _sample_shoebox(key, num_mics: int, room: RoomConfig):
     lo = jnp.array([room.room_lx[0], room.room_ly[0], room.room_lz[0]])
     hi = jnp.array([room.room_lx[1], room.room_ly[1], room.room_lz[1]])
     dims = jax.random.uniform(kl, (3,), minval=lo, maxval=hi)
-    # source somewhere in the room interior (0.5 m off the walls)
-    src = jax.random.uniform(ks, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
+    # source somewhere in the room interior (0.5 m off the walls):
+    # u in [0, 1) scaled to the interior span gives [0.5, dims - 0.5)
+    src = jax.random.uniform(ks, (3,)) * (dims - 1.0) + 0.5
     # the configured array geometry at a random interior point
-    center = jax.random.uniform(ka, (3,), minval=0.5, maxval=1.0) * (dims - 1.0) + 0.5
+    center = jax.random.uniform(ka, (3,)) * (dims - 1.0) + 0.5
     mics = center[None, :] + _array_offsets(num_mics, room)
     t60 = jax.random.uniform(kt, (), minval=room.t60[0], maxval=room.t60[1])
     # Sabine -> uniform wall energy absorption -> reflection coefficient

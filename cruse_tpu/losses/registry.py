@@ -17,6 +17,15 @@ def _neg_si_snr_zero_mean(est, ref, **kw):
     return -si_snr_zero_mean(est, ref)
 
 
+def _cirm(est, ref, noisy=None, **kw):
+    if noisy is None:
+        raise TypeError(
+            "the 'cirm' loss needs the noisy RI spectrum: call as "
+            "get_loss('cirm')(est, ref, noisy=noisy_ri), or select it via "
+            "loss_weights in the train step (which passes it)")
+    return cirm_mse_loss(est, noisy, ref)
+
+
 LOSS_REGISTRY = {
     # reference mode names (loss.py:18-21)
     "SI-SNR": lambda est, ref, **kw: si_snr_loss(est, ref),
@@ -30,7 +39,7 @@ LOSS_REGISTRY = {
     "compressed_spectral": lambda est, ref, **kw: compressed_spectral_loss(ref, est),
     "multi_res_spectral": lambda est, ref, **kw: multi_res_spectral_loss(est, ref),
     # cIRM MSE needs (enhanced, noisy, clean) RI spectra
-    "cirm": lambda est, ref, noisy=None, **kw: cirm_mse_loss(est, noisy, ref),
+    "cirm": _cirm,
 }
 
 

@@ -534,7 +534,8 @@ class MtfaaConfig:
     band_strides: Tuple[int, ...] = (2, 2, 2)
     tfcm_layers: int = 4
     attention_window: Optional[int] = None  # None = full causal (no streaming)
-    asa_impl: str = "auto"  # "auto": flash ASA kernel on TPU, einsum elsewhere
+    asa_impl: str = "auto"  # "auto" resolves to the einsum path (the flash
+    # Pallas kernel measured SLOWER, ops/asa_kernel.py; opt in with "flash")
     mask_activation: str = "sigmoid"
     use_deep_filter: bool = True
     df_taps_t: int = 1

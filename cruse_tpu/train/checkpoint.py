@@ -91,8 +91,17 @@ def restore_checkpoint(
             raise
         # Resuming with ema_decay newly enabled from a pre-EMA checkpoint:
         # the on-disk tree has no ema_params subtree, so restoring against
-        # an EMA-bearing template raises. Warm-start EMA from the restored
-        # params instead of failing.
+        # an EMA-bearing template raises. Confirm from the checkpoint's
+        # METADATA that ema_params is genuinely absent before falling back
+        # -- any other restore failure (corrupt file, layout mismatch) must
+        # fail loudly rather than silently resetting the validated EMA
+        # weights to the raw params.
+        try:
+            on_disk_ema = cp.metadata(path).item_metadata.get("ema_params")
+        except Exception:
+            on_disk_ema = "unknown"
+        if on_disk_ema is not None:
+            raise
         from cruse_tpu.utils.logger import log
 
         template_no_ema = dict(template, ema_params=None)

@@ -323,6 +323,11 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             return forward(params, state.batch_stats, model_input_ri)
 
         if cfg.remat is not None:
+            if cfg.remat not in ("dots", "all"):
+                raise ValueError(
+                    f"unknown remat policy {cfg.remat!r}: use None, 'dots' "
+                    f"(save only non-batch matmul outputs), or 'all' "
+                    f"(recompute everything)")
             policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                       if cfg.remat == "dots" else
                       jax.checkpoint_policies.nothing_saveable)

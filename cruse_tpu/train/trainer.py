@@ -383,8 +383,7 @@ class Trainer:
         # callables are re-invoked per epoch (fresh iterator); plain iterables
         # are consumed across epochs (reference DataLoader-style)
         batches = self.train_batches() if callable(self.train_batches) else self.train_batches
-        running = {}
-        count = 0
+        running = {}  # metric -> (sum, finite-sample count)
         window = self._profile_window(epoch)
         tracing = False
         for i, batch in enumerate(batches):
@@ -407,9 +406,15 @@ class Trainer:
                 self._mg_sync(mg)
             else:
                 self.state, metrics = self._train_step(self.state, batch)
-            count += 1
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+                v = float(v)
+                if not np.isfinite(v):
+                    # e.g. MetricGAN's skipped-D sentinel (disc_loss=nan when
+                    # PESQ refuses a batch): drop it from the mean instead of
+                    # poisoning the whole epoch's logged value
+                    continue
+                tot, n = running.get(k, (0.0, 0))
+                running[k] = (tot + v, n + 1)
             if tracing and i + 1 == window[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -418,8 +423,8 @@ class Trainer:
                 break
         if tracing:  # window extended past the epoch's last step
             jax.profiler.stop_trace()
-        for k, v in running.items():
-            mean = v / max(count, 1)
+        for k, (tot, n) in running.items():
+            mean = tot / max(n, 1)
             if self.writer:
                 self.writer.add_scalar(f"Train/{k}", mean, epoch)
             log(f"  epoch {epoch} {k}: {mean:.5f}")

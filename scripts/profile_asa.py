@@ -23,7 +23,7 @@ DTYPE = jnp.bfloat16 if (len(sys.argv) < 2 or sys.argv[1] == "bf16") else jnp.fl
 T = int(sys.argv[2]) if len(sys.argv) > 2 else 626
 B = 16
 STAGES = [(64, 24, 6), (32, 32, 8), (16, 48, 12)]
-ITERS = 10
+ITERS = 100  # amortize the tunnel dispatch RTT (>= 100 on-device iters)
 
 
 def best3(fn, *args):

@@ -396,3 +396,25 @@ def test_syn_dataset_measured_mc_rir(tmp_path, rng):
     xc = np.correlate(a, b, "full")
     lag = np.argmax(np.abs(xc)) - (len(a) - 1)
     assert abs(lag + 4) <= 1 or abs(lag - 4) <= 1, lag
+
+
+def test_room_sampler_covers_whole_interior():
+    """Source/array positions span the FULL room interior [0.5, L-0.5]
+    (a round-3 review caught the sampler confined to the upper half of
+    every dimension, biasing all mc_room training geometry)."""
+    import jax
+    from cruse_tpu.data.mixer import RoomConfig, _sample_shoebox
+
+    # fixed-size room so absolute mic positions are comparable across draws
+    room = RoomConfig(room_lx=(6.0, 6.0), room_ly=(6.0, 6.0), room_lz=(3.0, 3.0))
+    centers = []
+    for i in range(100):
+        _, _, mics, _ = _sample_shoebox(jax.random.PRNGKey(i), 2, room)
+        centers.append(np.asarray(mics).mean(axis=0))
+    centers = np.stack(centers)  # [100, 3]
+    # x and y interiors are [0.5, 5.5]; under the old bug centers never went
+    # below 3.0. P(all 100 draws in the upper half) ~ 0.5^100 when fixed.
+    assert centers[:, 0].min() < 3.0 and centers[:, 1].min() < 3.0
+    assert centers[:, 0].max() > 3.0 and centers[:, 1].max() > 3.0
+    # still off the walls
+    assert centers[:, :2].min() >= 0.5 - 0.2  # array offsets extend slightly

@@ -421,3 +421,64 @@ def test_weight_decay_optimizer():
     assert np.all(np.asarray(decayed["w"]) < 1.0)
     # 1-D leaves (biases, norm scales) are masked out of the decay
     np.testing.assert_allclose(np.asarray(decayed["b"]), 1.0)
+
+
+def test_restore_ema_fallback_is_narrow(tmp_path, rng):
+    """Resuming with EMA newly enabled from a pre-EMA checkpoint warm-starts
+    ema_params from the restored params; but if the checkpoint DOES carry
+    ema_params and the restore fails anyway, it must raise instead of
+    silently resetting the validated EMA weights (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state
+    from cruse_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    feat = model.compress(jnp.abs(stft(jnp.zeros((1, 512)), scfg)))
+
+    # 1. pre-EMA checkpoint -> EMA template: warm-start from params
+    no_ema = init_train_state(model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat)
+    save_checkpoint(tmp_path / "a", no_ema, epoch=3, best_score=0.1)
+    with_ema = init_train_state(
+        model, StepConfig(stft=scfg, ema_decay=0.9), jax.random.PRNGKey(1), feat)
+    restored, start, _ = restore_checkpoint(tmp_path / "a", with_ema)
+    assert start == 4 and restored.ema_params is not None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]))
+
+    # 2. the fallback's gate: the on-disk metadata distinguishes a genuine
+    # pre-EMA checkpoint (ema_params saved as None) from one that carries
+    # EMA weights -- restore only falls back in the former case, so a
+    # failed restore of an EMA-bearing checkpoint raises instead of
+    # silently resetting EMA to the raw params
+    import orbax.checkpoint as ocp
+
+    save_checkpoint(tmp_path / "b", with_ema, epoch=1, best_score=0.0)
+    cp = ocp.PyTreeCheckpointer()
+    assert cp.metadata(tmp_path / "a" / "latest").item_metadata.get("ema_params") is None
+    assert cp.metadata(tmp_path / "b" / "latest").item_metadata.get("ema_params") is not None
+
+
+def test_remat_policy_validated(rng):
+    """A typo'd remat policy raises instead of silently selecting
+    recompute-everything (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, remat="full")  # not a valid policy name
+    clean = rng.standard_normal((1, 256)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean), "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    with pytest.raises(ValueError, match="remat"):
+        jax.jit(make_train_step(model, cfg))(state, batch)
