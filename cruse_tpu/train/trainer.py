@@ -8,8 +8,11 @@ periodic validation -> best tracking via the composite score; an
 
 TPU specifics: the jitted SPMD train step does fwd+balancer-bwd+update in one
 XLA program; validation enhancement is jitted per utterance-batch; objective
-metrics (STOI/SI-SDR, PESQ when available) run on a host thread pool so the
-chip never waits on scoring.
+metrics (STOI/SI-SDR, PESQ when available) score on a background host thread
+WHILE the next epoch trains -- the chip only runs enhancement at the epoch
+boundary, and scores/best-checkpoints are harvested one boundary later
+against the state snapshot that was scored (SURVEY §7.2's async-scoring
+requirement).
 """
 from __future__ import annotations
 
@@ -430,6 +433,20 @@ class Trainer:
             log(f"  epoch {epoch} {k}: {mean:.5f}")
 
     def _validation_epoch(self, epoch: int) -> float:
+        """Synchronous validation: device enhancement, host scoring, TB
+        emission (used by only_validation; the training loop overlaps the
+        host-scoring half with the next epoch instead)."""
+        noisy_list, clean_list, enhanced_list, names = self._validation_enhance()
+        score = self.metrics_visualization(
+            noisy_list, clean_list, enhanced_list, list(self.cfg.metrics), epoch
+        )
+        for j in range(min(self.cfg.visualization_examples, len(names))):
+            self.spec_audio_visualization(noisy_list[j], enhanced_list[j], clean_list[j], names[j], epoch)
+        return score
+
+    def _validation_enhance(self):
+        """The device half of validation: enhance every batch with the
+        current (EMA-preferred) weights and pull the audio to host."""
         assert self.validation_batches is not None, "no validation data configured"
         vbatches = self.validation_batches() if callable(self.validation_batches) else self.validation_batches
         noisy_list, clean_list, enhanced_list, names = [], [], [], []
@@ -456,35 +473,42 @@ class Trainer:
                 clean_list.append(clean_np[j])
                 enhanced_list.append(enh_np[j])
                 names.append(batch_names[j])
-        score = self.metrics_visualization(
-            noisy_list, clean_list, enhanced_list, list(self.cfg.metrics), epoch
-        )
-        for j in range(min(self.cfg.visualization_examples, len(names))):
-            self.spec_audio_visualization(noisy_list[j], enhanced_list[j], clean_list[j], names[j], epoch)
-        return score
+        return noisy_list, clean_list, enhanced_list, names
 
     # ---- scoring & visualization (base_trainer.py:272-376 equivalents) ----
 
-    def metrics_visualization(self, noisy_list, clean_list, enhanced_list, metrics_list, epoch) -> float:
+    def _score_lists(self, noisy_list, clean_list, enhanced_list, metrics_list) -> dict:
+        """Pure host scoring: {metric: (mean_noisy, mean_enhanced)}. Safe to
+        run on a background thread (no writer/log side effects)."""
         avail = available_metrics()
         metrics_list = [m for m in metrics_list if avail.get(m, False)]
         assert "STOI" in metrics_list, "'STOI' must be present (drives best-model score)"
         sr = self.cfg.sr
-        means = {}
+        out = {}
         with ThreadPoolExecutor(max_workers=self.cfg.num_metric_workers) as pool:
             for metric_name in metrics_list:
                 fn = REGISTERED_METRICS[metric_name]
                 on_noisy = list(pool.map(lambda p: fn(p[0], p[1], sr=sr), zip(clean_list, noisy_list)))
                 on_enhanced = list(pool.map(lambda p: fn(p[0], p[1], sr=sr), zip(clean_list, enhanced_list)))
-                mean_noisy = float(np.mean(on_noisy))
-                mean_enh = float(np.mean(on_enhanced))
-                means[metric_name] = mean_enh
-                if self.writer:
-                    self.writer.add_scalars(
-                        f"Validation/{metric_name}", {"Noisy": mean_noisy, "Enhanced": mean_enh}, epoch
-                    )
-                log(f"  {metric_name}: noisy {mean_noisy:.4f} -> enhanced {mean_enh:.4f}")
+                out[metric_name] = (float(np.mean(on_noisy)), float(np.mean(on_enhanced)))
+        return out
+
+    def _emit_validation(self, scores: dict, epoch: int) -> float:
+        """TB/log emission of scored validation means -> composite score
+        (main-thread half of the async scoring pipeline)."""
+        means = {}
+        for metric_name, (mean_noisy, mean_enh) in scores.items():
+            means[metric_name] = mean_enh
+            if self.writer:
+                self.writer.add_scalars(
+                    f"Validation/{metric_name}", {"Noisy": mean_noisy, "Enhanced": mean_enh}, epoch
+                )
+            log(f"  {metric_name}: noisy {mean_noisy:.4f} -> enhanced {mean_enh:.4f}")
         return composite_score(means)
+
+    def metrics_visualization(self, noisy_list, clean_list, enhanced_list, metrics_list, epoch) -> float:
+        scores = self._score_lists(noisy_list, clean_list, enhanced_list, metrics_list)
+        return self._emit_validation(scores, epoch)
 
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, mark="") -> None:
         if self.writer is None:
@@ -511,12 +535,15 @@ class Trainer:
         except Exception as e:  # visualization must never kill training
             log(f"spectrogram figure failed: {e}")
 
-    def _save(self, epoch: int, best: bool = False) -> None:
+    def _save(self, epoch: int, best: bool = False, state: Optional[TrainState] = None) -> None:
         """Checkpoint write, coordinator-only on multi-process meshes (every
         process holds identical replicated state; one writer avoids
-        same-path races)."""
+        same-path races). `state` overrides self.state -- the async
+        validation pipeline saves the snapshot that was actually scored."""
         if self._is_coordinator:
-            save_checkpoint(self.checkpoints_dir, self.state, epoch, self.best_score, best)
+            save_checkpoint(self.checkpoints_dir,
+                            state if state is not None else self.state,
+                            epoch, self.best_score, best)
 
     def _is_best_epoch(self, score: float) -> bool:
         if self.cfg.save_max_metric_score and score >= self.best_score:
@@ -555,36 +582,68 @@ class Trainer:
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)
 
+    def _harvest_validation(self) -> None:
+        """Finish a pending async validation: emit scores/figures on the main
+        thread and write `best` from the state snapshot that was scored."""
+        if self._pending_val is None:
+            return
+        epoch, snapshot, future, vis = self._pending_val
+        self._pending_val = None
+        score = self._emit_validation(future.result(), epoch)
+        noisy_list, clean_list, enhanced_list, names = vis
+        for j in range(min(self.cfg.visualization_examples, len(names))):
+            self.spec_audio_visualization(noisy_list[j], enhanced_list[j], clean_list[j], names[j], epoch)
+        if self._is_best_epoch(score):
+            self._save(epoch, best=True, state=snapshot)
+
     def _train_loop(self, preempted) -> None:
         if self._adv is not None and not self._adv["pretrained"] and not self.cfg.only_validation:
             self._pretrain_discriminator()
-        for epoch in range(self.start_epoch, self.cfg.epochs + 1):
-            log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
+        # SURVEY §7.2: host metric scoring must not stall the chip -- the
+        # device half of validation (enhancement) runs at the epoch boundary,
+        # the host half (STOI/PESQ scoring) runs on this single worker while
+        # the NEXT epoch trains, and results are harvested one boundary later
+        # against the state snapshot that was scored.
+        self._pending_val = None
+        scorer = ThreadPoolExecutor(max_workers=1)
+        try:
+            for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+                log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
 
-            if self.cfg.only_validation:
-                score = self._validation_epoch(epoch)
-                if self._is_best_epoch(score):
-                    self._save(epoch, best=True)
-                continue
+                if self.cfg.only_validation:
+                    score = self._validation_epoch(epoch)
+                    if self._is_best_epoch(score):
+                        self._save(epoch, best=True)
+                    continue
 
-            timer = ExecutionTime()
-            self._train_epoch(epoch)
+                timer = ExecutionTime()
+                self._train_epoch(epoch)
 
-            if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
-                self._save(epoch)
-                if self._is_coordinator:
-                    self._save_disc()
+                if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
+                    self._save(epoch)
+                    if self._is_coordinator:
+                        self._save_disc()
 
-            if epoch % self.cfg.validation_interval == 0:
-                log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
-                score = self._validation_epoch(epoch)
-                if self._is_best_epoch(score):
-                    self._save(epoch, best=True)
+                if epoch % self.cfg.validation_interval == 0:
+                    self._harvest_validation()  # keep score/best ordering
+                    log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
+                    vis = self._validation_enhance()  # device work, now
+                    future = scorer.submit(
+                        self._score_lists, vis[0], vis[1], vis[2], list(self.cfg.metrics))
+                    # host-materialized snapshot: the jitted step DONATES its
+                    # input state, so the device buffers we'd want to save at
+                    # harvest time are invalidated by the next epoch's first
+                    # step -- copy out now (cheap; save would device_get anyway)
+                    self._pending_val = (epoch, jax.device_get(self.state), future, vis)
 
-            log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
-            if preempted["flag"]:
-                self._save(epoch)
-                if self._is_coordinator:
-                    self._save_disc()
-                log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
-                return
+                log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
+                if preempted["flag"]:
+                    self._harvest_validation()
+                    self._save(epoch)
+                    if self._is_coordinator:
+                        self._save_disc()
+                    log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
+                    return
+        finally:
+            self._harvest_validation()
+            scorer.shutdown(wait=False)
