@@ -50,6 +50,9 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
     from jax import export as jexport
 
     from cruse_tpu.dsp.stft import StftConfig, stft, istft

@@ -39,6 +39,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
 
     from cruse_tpu.dsp.stft import StftConfig, stft
     from cruse_tpu.data.dataset import SynMixDataset, SynMixConfig
