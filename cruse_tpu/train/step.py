@@ -52,6 +52,8 @@ class StepConfig:
     beta2: float = 0.999
     weight_decay: float = 0.0  # >0 switches Adam -> AdamW (decoupled decay;
     # the reference runs plain Adam, tools/train_stand.py:68-71)
+    freeze: tuple = ()  # parameter-path substrings whose updates are zeroed
+    # (fine-tuning: freeze the encoder after a torch-checkpoint import)
     clip_grad_norm: float = 10.0
     loss_weights: tuple = (("si_snr", 1.0), ("spec", 1.0))
     balancer_ema: float = 0.999
@@ -114,7 +116,20 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
         )
     else:
         inner = optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), inner)
+    parts = [optax.clip_by_global_norm(cfg.clip_grad_norm), inner]
+    if cfg.freeze:
+        pats = tuple(cfg.freeze)
+
+        def freeze_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(p in jax.tree_util.keystr(path) for p in pats),
+                params,
+            )
+
+        # zero the masked updates LAST so frozen params stay bit-identical
+        # regardless of lr schedule / decay
+        parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    tx = optax.chain(*parts)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx

@@ -482,3 +482,38 @@ def test_remat_policy_validated(rng):
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
     with pytest.raises(ValueError, match="remat"):
         jax.jit(make_train_step(model, cfg))(state, batch)
+
+
+def test_freeze_patterns_pin_matching_params(rng):
+    """[optimizer] freeze zeroes updates for matching parameter paths: the
+    fine-tune-after-import flow (freeze the encoder, adapt the rest)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, learning_rate=1e-2, freeze=("enc",))
+    clean = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean + rng.standard_normal((2, 512)).astype(np.float32) * 0.1),
+             "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    before = jax.device_get(state.params)
+    state, _ = jax.jit(make_train_step(model, cfg))(state, batch)
+    after = jax.device_get(state.params)
+
+    moved = frozen = 0
+    for path, b in jax.tree_util.tree_flatten_with_path(before)[0]:
+        key = jax.tree_util.keystr(path)
+        a = after
+        for k in path:
+            a = a[k.key]
+        if "enc" in key:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            frozen += 1
+        elif not np.allclose(np.asarray(a), np.asarray(b)):
+            moved += 1
+    assert frozen > 0 and moved > 0  # both populations exist and behave

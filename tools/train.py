@@ -8,7 +8,8 @@ Config layout (TOML, see configs/cruse_base.toml):
   [acoustics] n_fft, hop_length, win_length, sr
   [model] path + args           (dotted path, reflection)
   [train_dataset] / [validation_dataset]  args for SynMixConfig
-  [optimizer] lr, beta1, beta2, weight_decay (AdamW), schedule
+  [optimizer] lr, beta1, beta2, weight_decay (AdamW), freeze (path
+               substrings pinned for fine-tuning), schedule
                (constant|cosine), warmup_steps, decay_steps, final_lr_scale
   [trainer.train] epochs, steps_per_epoch, save_checkpoint_interval, clip_grad_norm_value
   [trainer.validation] validation_interval, save_max_metric_score
@@ -120,6 +121,7 @@ def main():
         beta1=float(opt.get("beta1", 0.9)),
         beta2=float(opt.get("beta2", 0.999)),
         weight_decay=float(opt.get("weight_decay", 0.0)),
+        freeze=tuple(opt.get("freeze", ())),
         clip_grad_norm=float(tr.get("clip_grad_norm_value", 10.0)),
         loss_weights=loss_weights,
         # beyond the reference (which runs fixed-LR Adam): optional linear
