@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--metrics", default="STOI,SI_SDR,WB_PESQ,PMOS", help="Comma list from the registry.")
     parser.add_argument("--sr", type=int, default=None, help="Sample rate (default: config acoustics.sr or 16000).")
     parser.add_argument("--csv", default=None, help="Write per-file metric rows to this CSV.")
+    parser.add_argument("--ci", type=int, default=0, metavar="N",
+                        help="Bootstrap resamples for a 95%% CI on each mean "
+                             "(0 = off). A/B claims should quote the interval, "
+                             "not just the mean.")
     args = parser.parse_args()
 
     import numpy as np
@@ -130,11 +134,23 @@ def main():
                 k = min(len(ref), len(nz))
                 nvals.append(float(fn(ref[:k], nz[:k], sr=sr)))
         means[m] = float(np.mean(vals))
+
+        def ci95(v):
+            # percentile bootstrap over files: the utterance sample, not the
+            # metric noise, dominates the uncertainty of corpus means
+            if args.ci <= 0 or len(v) < 2:
+                return ""
+            rng = np.random.default_rng(0)
+            idx = rng.integers(0, len(v), size=(args.ci, len(v)))
+            bm = np.sort(np.mean(np.asarray(v)[idx], axis=1))
+            lo, hi = bm[int(0.025 * args.ci)], bm[min(int(0.975 * args.ci), args.ci - 1)]
+            return f" [95% CI {lo:.4f}, {hi:.4f}]"
+
         if nvals:
             noisy_means[m] = float(np.mean(nvals))
-            log(f"  {m}: noisy {noisy_means[m]:.4f} -> enhanced {means[m]:.4f}")
+            log(f"  {m}: noisy {noisy_means[m]:.4f} -> enhanced {means[m]:.4f}{ci95(vals)}")
         else:
-            log(f"  {m}: enhanced {means[m]:.4f}")
+            log(f"  {m}: enhanced {means[m]:.4f}{ci95(vals)}")
         rows.append((m, vals))
 
     try:
