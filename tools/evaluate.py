@@ -51,6 +51,10 @@ def main():
                         help="Bootstrap resamples for a 95%% CI on each mean "
                              "(0 = off). A/B claims should quote the interval, "
                              "not just the mean.")
+    parser.add_argument("--versus", default=None, metavar="DIR",
+                        help="Second system's enhanced wavs (dir or manifest): "
+                             "paired per-file deltas (-E minus this) with a "
+                             "bootstrap CI and win rate per metric.")
     args = parser.parse_args()
 
     import numpy as np
@@ -104,6 +108,11 @@ def main():
     sr = sr or 16000
     stems = sorted(set(clean) & set(candidates))
     assert stems, f"no paired stems between {args.reference} and the candidates"
+    versus = None
+    if args.versus:
+        versus = dict(_collect(args.versus))
+        stems = sorted(set(stems) & set(versus))
+        assert stems, f"no paired stems shared with {args.versus}"
     missing = sorted(set(candidates) - set(clean))
     if missing:
         log(f"warning: {len(missing)} candidate files lack a clean reference (skipped)")
@@ -151,6 +160,26 @@ def main():
             log(f"  {m}: noisy {noisy_means[m]:.4f} -> enhanced {means[m]:.4f}{ci95(vals)}")
         else:
             log(f"  {m}: enhanced {means[m]:.4f}{ci95(vals)}")
+        if versus is not None:
+            # paired deltas: same utterance, A (-E) minus B (--versus).
+            # Pairing removes the utterance variance that dominates corpus
+            # means, so far fewer files resolve a real difference.
+            bvals = []
+            for stem in stems:
+                ref = load(clean[stem])
+                est = load(versus[stem])
+                n = min(len(ref), len(est))
+                bvals.append(float(fn(ref[:n], est[:n], sr=sr)))
+            deltas = np.asarray(vals) - np.asarray(bvals)
+            wins = float(np.mean(deltas > 0)) * 100.0
+            reps = args.ci if args.ci > 0 else 1000
+            rng_b = np.random.default_rng(0)
+            idx = rng_b.integers(0, len(deltas), size=(reps, len(deltas)))
+            bm = np.sort(np.mean(deltas[idx], axis=1))
+            lo, hi = bm[int(0.025 * reps)], bm[min(int(0.975 * reps), reps - 1)]
+            verdict = ("A>B" if lo > 0 else "B>A" if hi < 0 else "not significant")
+            log(f"  {m} paired A-B: mean {np.mean(deltas):+.4f} "
+                f"[95% CI {lo:+.4f}, {hi:+.4f}], A wins {wins:.0f}% -> {verdict}")
         rows.append((m, vals))
 
     try:
