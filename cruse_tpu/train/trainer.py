@@ -97,6 +97,8 @@ class TrainerConfig:
     save_checkpoint_interval: int = 1
     validation_interval: int = 1
     save_max_metric_score: bool = True
+    patience: int = 0  # stop after N validations without a new best (0 = off;
+    # the reference always runs its full epoch budget)
     metrics: tuple = ("STOI", "SI_SDR", "WB_PESQ", "PMOS")
     sr: int = 16000  # validation scoring + TB audio sample rate
     save_dir: str = "runs/exp"
@@ -595,6 +597,13 @@ class Trainer:
             self.spec_audio_visualization(noisy_list[j], enhanced_list[j], clean_list[j], names[j], epoch)
         if self._is_best_epoch(score):
             self._save(epoch, best=True, state=snapshot)
+            self._since_best = 0
+        else:
+            self._since_best += 1
+            if self.cfg.patience and self._since_best >= self.cfg.patience:
+                self._stop_early = True
+                log(f"early stop: {self._since_best} validations without a "
+                    f"new best (patience {self.cfg.patience})")
 
     def _train_loop(self, preempted) -> None:
         if self._adv is not None and not self._adv["pretrained"] and not self.cfg.only_validation:
@@ -605,9 +614,13 @@ class Trainer:
         # the NEXT epoch trains, and results are harvested one boundary later
         # against the state snapshot that was scored.
         self._pending_val = None
+        self._since_best = 0
+        self._stop_early = False
         scorer = ThreadPoolExecutor(max_workers=1)
         try:
             for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+                if self._stop_early:
+                    return
                 log(f"{'=' * 15} {epoch} epoch {'=' * 15}")
 
                 if self.cfg.only_validation:

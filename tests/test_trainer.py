@@ -517,3 +517,38 @@ def test_freeze_patterns_pin_matching_params(rng):
         elif not np.allclose(np.asarray(a), np.asarray(b)):
             moved += 1
     assert frozen > 0 and moved > 0  # both populations exist and behave
+
+
+def test_early_stopping_patience(tmp_path, rng, monkeypatch):
+    """[trainer.validation] patience stops the loop after N validations
+    without a new best (the reference always burns its full epoch budget)."""
+    import jax
+    import jax.numpy as jnp
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig
+    from cruse_tpu.train.trainer import Trainer, TrainerConfig
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    clean = rng.standard_normal((2, 512)).astype(np.float32) * 0.1
+    batch = {"noisy": jnp.asarray(clean), "clean": jnp.asarray(clean)}
+    feat = model.compress(jnp.abs(stft(batch["noisy"], scfg)))
+    trainer = Trainer(
+        model, StepConfig(stft=scfg),
+        TrainerConfig(epochs=6, steps_per_epoch=1, patience=2,
+                      save_dir=str(tmp_path), experiment_name="es",
+                      visualization_examples=0, metrics=("STOI", "SI_SDR")),
+        train_batches=lambda: iter([batch]),
+        validation_batches=[batch],
+        example_feat=feat, writer=False,
+    )
+    monkeypatch.setattr(trainer, "_is_best_epoch", lambda score: False)
+    epochs_trained = []
+    orig = trainer._train_epoch
+    monkeypatch.setattr(trainer, "_train_epoch",
+                        lambda e: (epochs_trained.append(e), orig(e))[1])
+    trainer.train()
+    # never-best + patience 2: epoch 1/2 validations score async, the stop
+    # flag latches at epoch 3's harvest at the latest -> well short of 6
+    assert len(epochs_trained) <= 4, epochs_trained

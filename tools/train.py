@@ -149,6 +149,7 @@ def main():
         save_checkpoint_interval=int(tr.get("save_checkpoint_interval", 1)),
         validation_interval=int(va.get("validation_interval", 1)),
         save_max_metric_score=bool(va.get("save_max_metric_score", True)),
+        patience=int(va.get("patience", 0)),
         sr=int(ac.get("sr", 16000)),
         save_dir=config["meta"].get("save_dir", "runs"),
         experiment_name=exp_name,
