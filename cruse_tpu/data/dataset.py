@@ -95,6 +95,7 @@ class SynMixDataset:
         self.length = int(c.dataset_length) if c.dataset_length else len(self.clean_list)
         self._epoch = 0  # advances the default mixing key across epochs
         self._rir_cache: dict = {}  # path -> decoded [M, rir_len] (read-only)
+        self._rir_cache_bytes = 0  # byte-budgeted (see _select_rir_mc)
         self.rng = np.random.default_rng(c.seed)
         self.sub_len = int(c.sub_sample_seconds * c.sr)
         self.rir_len = int(c.rir_max_seconds * c.sr)
@@ -219,8 +220,11 @@ class SynMixDataset:
         n = min(wav.shape[1], self.rir_len)
         out[:, :n] = wav[:m, :n]
         out.setflags(write=False)
-        if len(self._rir_cache) < 4096:  # ~2.6 MB per 0.5 s 4-mic entry
+        # cap by BYTES, not entries: entry size scales with mics * rir_len
+        # (a 0.5 s 4-mic 16 kHz entry is 4*8000*4 = 128 KB)
+        if self._rir_cache_bytes + out.nbytes <= 512 * 1024 * 1024:
             self._rir_cache[path] = out
+            self._rir_cache_bytes += out.nbytes
         return out
 
     def _native_select(self, file_list: List[str], b: int):

@@ -118,6 +118,9 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
         inner = optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2)
     parts = [optax.clip_by_global_norm(cfg.clip_grad_norm), inner]
     if cfg.freeze:
+        assert not isinstance(cfg.freeze, str), (
+            "freeze must be a list/tuple of path substrings, not a string "
+            "(a bare string would match per-character and pin everything)")
         pats = tuple(cfg.freeze)
 
         def freeze_mask(params):
@@ -126,8 +129,11 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
                 params,
             )
 
-        # zero the masked updates LAST so frozen params stay bit-identical
-        # regardless of lr schedule / decay
+        # zero the frozen GRADIENTS before the global-norm clip (so large
+        # frozen-branch grads cannot crush the trainable params' effective
+        # LR) and the frozen UPDATES after the optimizer (so frozen params
+        # stay bit-identical regardless of schedule/decay)
+        parts.insert(0, optax.masked(optax.set_to_zero(), freeze_mask))
         parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
     tx = optax.chain(*parts)
     if cfg.grad_accum_steps > 1:

@@ -388,7 +388,7 @@ class Trainer:
         # callables are re-invoked per epoch (fresh iterator); plain iterables
         # are consumed across epochs (reference DataLoader-style)
         batches = self.train_batches() if callable(self.train_batches) else self.train_batches
-        running = {}  # metric -> (sum, finite-sample count)
+        running = {}  # metric -> (sum, finite count, non-finite count)
         window = self._profile_window(epoch)
         tracing = False
         for i, batch in enumerate(batches):
@@ -413,13 +413,15 @@ class Trainer:
                 self.state, metrics = self._train_step(self.state, batch)
             for k, v in metrics.items():
                 v = float(v)
+                tot, n, bad = running.get(k, (0.0, 0, 0))
                 if not np.isfinite(v):
                     # e.g. MetricGAN's skipped-D sentinel (disc_loss=nan when
-                    # PESQ refuses a batch): drop it from the mean instead of
-                    # poisoning the whole epoch's logged value
+                    # PESQ refuses a batch): keep it out of the mean but COUNT
+                    # it -- the epoch log flags skipped values loudly so real
+                    # divergence cannot hide behind a healthy-looking mean
+                    running[k] = (tot, n, bad + 1)
                     continue
-                tot, n = running.get(k, (0.0, 0))
-                running[k] = (tot + v, n + 1)
+                running[k] = (tot + v, n + 1, bad)
             if tracing and i + 1 == window[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -428,11 +430,12 @@ class Trainer:
                 break
         if tracing:  # window extended past the epoch's last step
             jax.profiler.stop_trace()
-        for k, (tot, n) in running.items():
+        for k, (tot, n, bad) in running.items():
             mean = tot / max(n, 1)
             if self.writer:
                 self.writer.add_scalar(f"Train/{k}", mean, epoch)
-            log(f"  epoch {epoch} {k}: {mean:.5f}")
+            flag = f"  [{bad} NON-FINITE values skipped!]" if bad else ""
+            log(f"  epoch {epoch} {k}: {mean:.5f}{flag}")
 
     def _validation_epoch(self, epoch: int) -> float:
         """Synchronous validation: device enhancement, host scoring, TB
@@ -632,13 +635,17 @@ class Trainer:
                 timer = ExecutionTime()
                 self._train_epoch(epoch)
 
+                # harvest BEFORE the periodic `latest` save so the saved
+                # best_score is current -- a stale best_score on resume
+                # would let a worse later epoch overwrite `best`
+                self._harvest_validation()
+
                 if self.cfg.save_checkpoint_interval and epoch % self.cfg.save_checkpoint_interval == 0:
                     self._save(epoch)
                     if self._is_coordinator:
                         self._save_disc()
 
                 if epoch % self.cfg.validation_interval == 0:
-                    self._harvest_validation()  # keep score/best ordering
                     log(f"[{timer.duration()} seconds] Training finished, validation in progress...")
                     vis = self._validation_enhance()  # device work, now
                     future = scorer.submit(
@@ -646,8 +653,14 @@ class Trainer:
                     # host-materialized snapshot: the jitted step DONATES its
                     # input state, so the device buffers we'd want to save at
                     # harvest time are invalidated by the next epoch's first
-                    # step -- copy out now (cheap; save would device_get anyway)
-                    self._pending_val = (epoch, jax.device_get(self.state), future, vis)
+                    # step -- copy out now (cheap; save would device_get
+                    # anyway). Stash only the few visualization clips: the
+                    # scoring future holds the full lists until it finishes,
+                    # but pinning the whole validation set for an entire
+                    # epoch is an unbounded-RAM pattern.
+                    keep = self.cfg.visualization_examples
+                    vis_small = tuple(x[:keep] for x in vis)
+                    self._pending_val = (epoch, jax.device_get(self.state), future, vis_small)
 
                 log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
                 if preempted["flag"]:
@@ -658,5 +671,12 @@ class Trainer:
                     log(f"preemption checkpoint written at epoch {epoch}; resume with -R.")
                     return
         finally:
-            self._harvest_validation()
+            import sys as _sys
+
+            if _sys.exc_info()[0] is None:
+                self._harvest_validation()
+            else:
+                # crash path: do not block on (or raise from) pending
+                # scoring -- the original exception must surface unmasked
+                self._pending_val = None
             scorer.shutdown(wait=False)

@@ -127,21 +127,32 @@ def main():
             return w
         return x
 
+    # read each wav ONCE per stem and score all metrics on it (per-metric
+    # loops would re-decode + resample the whole corpus per metric)
+    per_metric = {m: {"vals": [], "nvals": [], "bvals": []} for m in names}
+    for stem in stems:
+        ref = load(clean[stem])
+        est = load(candidates[stem])
+        nz = load(noisy[stem]) if stem in noisy else None
+        bst = load(versus[stem]) if versus is not None else None
+        for m in names:
+            fn = REGISTERED_METRICS[m]
+            acc = per_metric[m]
+            n = min(len(ref), len(est))
+            acc["vals"].append(float(fn(ref[:n], est[:n], sr=sr)))
+            if nz is not None:
+                k = min(len(ref), len(nz))
+                acc["nvals"].append(float(fn(ref[:k], nz[:k], sr=sr)))
+            if bst is not None:
+                k = min(len(ref), len(bst))
+                acc["bvals"].append(float(fn(ref[:k], bst[:k], sr=sr)))
+
     rows = []
     means = {}
     noisy_means = {}
     for m in names:
         fn = REGISTERED_METRICS[m]
-        vals, nvals = [], []
-        for stem in stems:
-            ref = load(clean[stem])
-            est = load(candidates[stem])
-            n = min(len(ref), len(est))
-            vals.append(float(fn(ref[:n], est[:n], sr=sr)))
-            if stem in noisy:
-                nz = load(noisy[stem])
-                k = min(len(ref), len(nz))
-                nvals.append(float(fn(ref[:k], nz[:k], sr=sr)))
+        vals, nvals = per_metric[m]["vals"], per_metric[m]["nvals"]
         means[m] = float(np.mean(vals))
 
         def ci95(v):
@@ -164,13 +175,7 @@ def main():
             # paired deltas: same utterance, A (-E) minus B (--versus).
             # Pairing removes the utterance variance that dominates corpus
             # means, so far fewer files resolve a real difference.
-            bvals = []
-            for stem in stems:
-                ref = load(clean[stem])
-                est = load(versus[stem])
-                n = min(len(ref), len(est))
-                bvals.append(float(fn(ref[:n], est[:n], sr=sr)))
-            deltas = np.asarray(vals) - np.asarray(bvals)
+            deltas = np.asarray(vals) - np.asarray(per_metric[m]["bvals"])
             wins = float(np.mean(deltas > 0)) * 100.0
             reps = args.ci if args.ci > 0 else 1000
             rng_b = np.random.default_rng(0)

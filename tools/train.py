@@ -121,7 +121,9 @@ def main():
         beta1=float(opt.get("beta1", 0.9)),
         beta2=float(opt.get("beta2", 0.999)),
         weight_decay=float(opt.get("weight_decay", 0.0)),
-        freeze=tuple(opt.get("freeze", ())),
+        # a bare string would iterate per character and pin everything
+        freeze=((opt["freeze"],) if isinstance(opt.get("freeze"), str)
+                else tuple(opt.get("freeze", ()))),
         clip_grad_norm=float(tr.get("clip_grad_norm_value", 10.0)),
         loss_weights=loss_weights,
         # beyond the reference (which runs fixed-LR Adam): optional linear
