@@ -97,6 +97,11 @@ def main():
                         help="shard every pool's stream slots over an N-device "
                              "mesh (max_streams must be a multiple of N; each "
                              "chip carries max_streams/N sessions' state)")
+    parser.add_argument("--realtime", action="store_true",
+                        help="pace the scheduler at wall-clock hop intervals "
+                             "(real-time QoS mode): reports per-iteration p50/"
+                             "p99 latency and the fraction of hop deadlines "
+                             "missed instead of running flat out")
     args = parser.parse_args()
 
     import numpy as np
@@ -162,8 +167,21 @@ def main():
                             "outs": [], "t": time.perf_counter(),
                             "priority": priority}
 
+    # real-time pacing: one scheduler iteration per hop period; an iteration
+    # that overruns the period is a missed deadline (audible glitch in a
+    # genuinely live deployment)
+    hop_period = hops[default_model] / srs[default_model]
+    iter_times: list = []
+    next_tick = time.perf_counter()
+
     admit()
     while live or queue:
+        if args.realtime:
+            now = time.perf_counter()
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            next_tick = max(next_tick + hop_period, time.perf_counter() - hop_period)
+            it0 = time.perf_counter()
         # feed every live session its next chunk of input
         for handle, s in list(live.items()):
             chunk = args.feed_chunk * hops[s["model"]]
@@ -176,6 +194,8 @@ def main():
         for handle, hop_out in server.step(max_dispatches=budget).items():
             live[handle]["outs"].append(hop_out)
             total_hops += 1
+        if args.realtime:
+            iter_times.append(time.perf_counter() - it0)
         # retire exhausted sessions: drain, write, free the slot
         for handle, s in list(live.items()):
             if s["pos"] >= s["wav"].shape[-1] and not server.ready(handle):
@@ -199,6 +219,14 @@ def main():
     log(f"served {total_hops} hops in {wall:.2f}s "
         f"({total_hops * hops[default_model] / srs[default_model] / max(wall, 1e-9):.1f}x "
         f"realtime aggregate)")
+    if args.realtime and iter_times:
+        ts = np.sort(np.asarray(iter_times))
+        p50 = ts[len(ts) // 2] * 1e3
+        p99 = ts[min(int(0.99 * len(ts)), len(ts) - 1)] * 1e3
+        missed = float(np.mean(ts > hop_period)) * 100.0
+        log(f"realtime QoS: iteration p50 {p50:.2f} ms / p99 {p99:.2f} ms "
+            f"vs {hop_period * 1e3:.1f} ms hop budget; "
+            f"{missed:.1f}% deadlines missed")
 
 
 if __name__ == "__main__":
