@@ -9,5 +9,6 @@ from cruse_tpu.losses.spectral import (  # noqa: F401
     MultiResSpectralConfig,
     multi_res_spectral_loss,
 )
+from cruse_tpu.losses.pmsqe import pmsqe_loss, pmsqe_tables  # noqa: F401
 from cruse_tpu.losses.balancer import Balancer, BalancerState  # noqa: F401
 from cruse_tpu.losses.registry import LOSS_REGISTRY, get_loss  # noqa: F401

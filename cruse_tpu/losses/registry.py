@@ -2,6 +2,7 @@
 loss_func modes (loss_func/loss.py:16-34) plus the train_base loss."""
 from __future__ import annotations
 
+from cruse_tpu.losses.pmsqe import pmsqe_loss
 from cruse_tpu.losses.sisnr import si_snr_loss, si_snr_zero_mean
 from cruse_tpu.losses.spectral import (
     rmse_loss,
@@ -40,6 +41,8 @@ LOSS_REGISTRY = {
     "multi_res_spectral": lambda est, ref, **kw: multi_res_spectral_loss(est, ref),
     # cIRM MSE needs (enhanced, noisy, clean) RI spectra
     "cirm": _cirm,
+    # differentiable PESQ-structured perceptual loss on RI spectra
+    "pmsqe": lambda est, ref, sr=16000, **kw: pmsqe_loss(est, ref, sr=sr),
 }
 
 

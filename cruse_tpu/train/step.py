@@ -25,6 +25,7 @@ import optax
 
 from cruse_tpu.dsp.stft import StftConfig, stft, istft
 from cruse_tpu.losses.balancer import Balancer, BalancerState
+from cruse_tpu.losses.pmsqe import pmsqe_loss
 from cruse_tpu.losses.sisnr import si_snr_loss
 from cruse_tpu.losses.spectral import (
     compressed_spectral_loss,
@@ -82,6 +83,8 @@ class StepConfig:
     grad_accum_steps: int = 1  # >1: accumulate grads over k steps and
     # apply one averaged Adam update (optax.MultiSteps) -- large effective
     # batches beyond single-chip memory
+    sr: int = 16000  # sample rate: sizes the Bark tables of the perceptual
+    # 'pmsqe' loss (the other losses are sr-agnostic)
 
 
 def make_lr(cfg: StepConfig):
@@ -373,6 +376,9 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             # compressed mask implied by the enhanced spectrum vs the
             # compressed ideal -- already mean-normalized and bounded
             "cirm": lambda out: cirm_mse_loss(out, noisy_ri, clean_ri),
+            # differentiable PESQ-structured perceptual loss (trains the
+            # quantity the validator selects models by; losses/pmsqe.py)
+            "pmsqe": lambda out: pmsqe_loss(out, clean_ri, sr=cfg.sr),
         }
 
         def _sdnr_from_output(out):

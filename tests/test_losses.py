@@ -158,3 +158,133 @@ def test_fullsubnet_trains_with_cirm_loss(rng):
         losses.append(float(m["loss_cirm"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def _speechy(rng, n=16000, sr=16000):
+    """Synthetic speech-like signal: harmonics with syllabic AM."""
+    t = np.arange(n) / sr
+    x = sum(
+        a * np.sin(2 * np.pi * f0 * k * t)
+        for k, a in ((1, 1.0), (2, 0.6), (3, 0.35), (5, 0.15))
+        for f0 in (130.0,)
+    )
+    x *= 0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t) ** 2
+    return (0.1 * x / np.max(np.abs(x))).astype(np.float32)
+
+
+def test_pmsqe_zero_at_identity_and_monotone(rng):
+    """PMSQE is exactly zero for identical spectra and grows with the noise
+    level (the PESQ disturbance is monotone in distortion)."""
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.losses import pmsqe_loss
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    clean = _speechy(rng)
+    ref = stft(jnp.asarray(clean)[None], scfg)
+    ref_ri = jnp.stack([jnp.real(ref), jnp.imag(ref)], -1)
+    assert float(pmsqe_loss(ref_ri, ref_ri)) == 0.0
+
+    noise = rng.standard_normal(clean.shape).astype(np.float32)
+    noise *= np.sqrt(np.mean(clean**2) / np.mean(noise**2))  # 0 dB SNR unit
+    vals = []
+    for snr_db in (30.0, 20.0, 10.0, 0.0):
+        deg = clean + noise * 10 ** (-snr_db / 20.0)
+        spec = stft(jnp.asarray(deg)[None], scfg)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], -1)
+        vals.append(float(pmsqe_loss(ri, ref_ri)))
+    assert all(np.isfinite(vals))
+    assert all(a < b for a, b in zip(vals, vals[1:])), vals
+
+
+def test_pmsqe_gradient_and_level_invariance(rng):
+    """Finite, nonzero gradients; global gain changes of either signal do
+    not move the loss (PESQ level-aligns both signals; the stop-gradient
+    scales make the loss train spectral shape, not level)."""
+    import jax
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.losses import pmsqe_loss
+
+    scfg = StftConfig(n_fft=320, hop_length=160)
+    clean = _speechy(rng)
+    deg = clean + 0.03 * rng.standard_normal(clean.shape).astype(np.float32)
+    ref = stft(jnp.asarray(clean)[None], scfg)
+    est = stft(jnp.asarray(deg)[None], scfg)
+    ref_ri = jnp.stack([jnp.real(ref), jnp.imag(ref)], -1)
+    est_ri = jnp.stack([jnp.real(est), jnp.imag(est)], -1)
+
+    val, g = jax.value_and_grad(lambda e: pmsqe_loss(e, ref_ri))(est_ri)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and float(np.abs(g).max()) > 0.0
+    assert float(val) > 0.0
+
+    v1 = float(pmsqe_loss(est_ri, ref_ri))
+    v2 = float(pmsqe_loss(est_ri * 3.0, ref_ri))
+    v3 = float(pmsqe_loss(est_ri, ref_ri * 0.25))
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    np.testing.assert_allclose(v3, v1, rtol=1e-5)
+
+
+def test_pmsqe_tracks_native_pesq_ordering(rng):
+    """The training loss orders degradations the same way the native WB-PESQ
+    validator does (that agreement is the reason to train with it)."""
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.losses import pmsqe_loss
+    from cruse_tpu.metrics.pesq_native import wb_pesq_native
+
+    scfg = StftConfig(n_fft=512, hop_length=256)
+    clean = _speechy(rng, n=32000)
+    ref = stft(jnp.asarray(clean)[None], scfg)
+    ref_ri = jnp.stack([jnp.real(ref), jnp.imag(ref)], -1)
+    noise = rng.standard_normal(clean.shape).astype(np.float32)
+    noise *= np.sqrt(np.mean(clean**2) / np.mean(noise**2))
+    losses, pesqs = [], []
+    for snr_db in (25.0, 15.0, 5.0):
+        deg = clean + noise * 10 ** (-snr_db / 20.0)
+        spec = stft(jnp.asarray(deg)[None], scfg)
+        ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], -1)
+        losses.append(float(pmsqe_loss(ri, ref_ri)))
+        pesqs.append(wb_pesq_native(clean, deg))
+    # PESQ decreasing with noise; PMSQE increasing -- identical ordering
+    assert pesqs[0] > pesqs[1] > pesqs[2], pesqs
+    assert losses[0] < losses[1] < losses[2], losses
+
+
+def test_pmsqe_registry_and_tables():
+    from cruse_tpu.losses import get_loss, pmsqe_tables
+
+    mat, widths, thresh, iscale = pmsqe_tables(320, 16000)
+    assert mat.shape == (49, 161) and widths.shape == (49,)
+    # every rfft bin above the lowest band edge lands in exactly one band
+    cover = np.asarray(mat).sum(axis=0)
+    assert cover.max() <= 1.0 + 1e-6
+    assert np.asarray(widths).min() > 0 and np.asarray(thresh).min() > 0
+    nb_mat, *_ = pmsqe_tables(256, 8000)
+    assert nb_mat.shape == (42, 129)
+
+    x = jnp.ones((1, 4, 161, 2))
+    assert float(get_loss("pmsqe")(x, x)) == 0.0
+
+
+def test_cruse_trains_with_pmsqe_loss(rng):
+    """PMSQE drives a real balancer train step on a tiny CRUSE and decreases
+    over a few steps (perceptual fine-tuning recipe: pmsqe + si_snr)."""
+    import jax
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import CruseNet, CruseConfig
+    from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
+
+    scfg = StftConfig(n_fft=64, hop_length=32)
+    model = CruseNet(CruseConfig(in_freq=33, channels=(2, 4), rnn_groups=2))
+    cfg = StepConfig(stft=scfg, learning_rate=3e-3,
+                     loss_weights=(("pmsqe", 1.0), ("si_snr", 0.3)))
+    clean = jnp.asarray(rng.standard_normal((2, 2000)) * 0.1, jnp.float32)
+    noisy = clean + jnp.asarray(rng.standard_normal((2, 2000)) * 0.05, jnp.float32)
+    feat = model.compress(jnp.abs(stft(noisy, scfg)))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = jax.jit(make_train_step(model, cfg))
+    losses = []
+    for _ in range(6):
+        state, m = step(state, {"noisy": noisy, "clean": clean})
+        losses.append(float(m["loss_pmsqe"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
