@@ -309,11 +309,21 @@ def forward_for_model(model) -> Callable:
     return mask_model_forward(model)
 
 
-def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> Callable:
+def make_train_step(model, cfg: StepConfig, forward: Callable | None = None,
+                    teacher: tuple | None = None) -> Callable:
     """Build the jittable train step.
 
     batch: {"noisy": [B, L], "clean": [B, L]} waveforms. `forward` adapts the
     model API (default: magnitude-mask models); returns (new_state, metrics).
+
+    teacher: optional ``(teacher_forward, teacher_variables)`` for knowledge
+    distillation — ``teacher_forward`` is a family adapter
+    (forward_for_model(teacher_model)) and ``teacher_variables`` its frozen
+    {"params", "batch_stats"}. Enables the 'distill' loss: compressed
+    spectral distance between the student's enhanced spectrum and the
+    stop-gradient teacher output on the same noisy input (the standard
+    compress-a-big-offline-model-into-a-small-streaming-model recipe; any
+    zoo family can teach any other, since every adapter emits RI spectra).
     """
     tx = make_optimizer(cfg)
     balancer = Balancer.make(dict(cfg.loss_weights), ema_decay=cfg.balancer_ema,
@@ -322,6 +332,13 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
     forward = forward if forward is not None else mask_model_forward(model)
     if cfg.compute_dtype is not None:
         forward = cast_forward(forward, jnp.dtype(cfg.compute_dtype))
+    wants_distill = any(k == "distill" for k, _ in cfg.loss_weights)
+    if wants_distill and teacher is None:
+        raise ValueError(
+            "loss_weights includes 'distill' but no teacher was given: pass "
+            "teacher=(forward_for_model(teacher_model), teacher_variables) "
+            "to make_train_step / Trainer, or configure [trainer.distillation] "
+            "with config= and checkpoint= in the TOML")
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         noisy, clean = batch["noisy"], batch["clean"]
@@ -342,6 +359,16 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
         noisy_ri = jnp.stack([jnp.real(noisy_spec), jnp.imag(noisy_spec)], axis=-1)
         if model_input_ri is None:
             model_input_ri = noisy_ri
+
+        if teacher is not None:
+            teacher_forward, teacher_vars = teacher
+            # frozen teacher in eval mode on the same noisy input; its output
+            # is constant w.r.t. the student params, so compute it once
+            # outside the balancer closures and cut the graph explicitly
+            teacher_ri, _ = teacher_forward(
+                teacher_vars["params"], teacher_vars.get("batch_stats", {}),
+                model_input_ri, train=False)
+            teacher_ri = jax.lax.stop_gradient(teacher_ri)
 
         def model_out(params):
             return forward(params, state.batch_stats, model_input_ri)
@@ -380,6 +407,11 @@ def make_train_step(model, cfg: StepConfig, forward: Callable | None = None) -> 
             # quantity the validator selects models by; losses/pmsqe.py)
             "pmsqe": lambda out: pmsqe_loss(out, clean_ri, sr=cfg.sr),
         }
+        if teacher is not None:
+            # knowledge distillation: match the teacher's enhanced spectrum
+            # (compressed spectral distance, same metric as 'spec' vs clean)
+            available["distill"] = (
+                lambda out: compressed_spectral_loss(out, teacher_ri) / norm)
 
         def _sdnr_from_output(out):
             # SDNR is VAD-gated and SNR-weighted (reference loss.py:151-175):

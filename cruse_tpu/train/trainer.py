@@ -132,6 +132,7 @@ class Trainer:
         rng=None,
         writer=None,
         mesh=None,
+        teacher=None,
     ):
         self.model = model
         self.step_cfg = step_config
@@ -183,15 +184,36 @@ class Trainer:
             self.state = self._place_on_mesh(self.state)
             log(f"SPMD mesh: {dict(self.mesh.shape)}")
 
-        try:
-            self._train_step = _jitted_train_step(model, step_config)
-            self._enhance = _jitted_enhance(model, self.scfg)
-        except TypeError:  # unhashable model config (e.g. a dict field)
+        if teacher is not None:
+            # knowledge distillation ([trainer.distillation]): the frozen
+            # teacher's variables close over the step as compile-time
+            # constants (it never updates), so the memoized step cache does
+            # not apply. teacher = (teacher_model, teacher_variables).
+            t_model, t_vars = teacher
             self._train_step = jax.jit(
-                make_train_step(model, step_config, forward=forward_for_model(model)),
+                make_train_step(model, step_config,
+                                forward=forward_for_model(model),
+                                teacher=(forward_for_model(t_model), t_vars)),
                 donate_argnums=0,
             )
-            self._enhance = jax.jit(self._enhance_fn)
+            try:
+                self._enhance = _jitted_enhance(model, self.scfg)
+            except TypeError:  # unhashable model config
+                self._enhance = jax.jit(self._enhance_fn)
+            n_t = sum(int(np.prod(p.shape))
+                      for p in jax.tree_util.tree_leaves(t_vars["params"]))
+            log(f"distillation: teacher {type(t_model).__name__} "
+                f"({n_t / 1e6:.3f} M params, frozen)")
+        else:
+            try:
+                self._train_step = _jitted_train_step(model, step_config)
+                self._enhance = _jitted_enhance(model, self.scfg)
+            except TypeError:  # unhashable model config (e.g. a dict field)
+                self._train_step = jax.jit(
+                    make_train_step(model, step_config, forward=forward_for_model(model)),
+                    donate_argnums=0,
+                )
+                self._enhance = jax.jit(self._enhance_fn)
         self._adv = None
         if trainer_config.adversarial:
             assert mesh is None, "adversarial training does not support a mesh yet"

@@ -177,6 +177,26 @@ def main():
     else:
         spec = stft(noisy_ex, scfg)
     feat = features_for_model(model, spec)
+
+    # [trainer.distillation]: config = teacher TOML, checkpoint = trained
+    # teacher weights. The teacher runs frozen inside the train step and the
+    # 'distill' entry in [loss.weights] pulls the student toward its output.
+    teacher = None
+    dist_cfg = config.get("trainer", {}).get("distillation")
+    if dist_cfg:
+        from cruse_tpu.train.checkpoint import preload_variables
+
+        t_config = load_config(dist_cfg["config"])
+        t_model_cfg = initialize_module(
+            t_config["model"]["path"], t_config["model"].get("args"))
+        t_model = build_from_config(t_model_cfg)
+        t_feat = features_for_model(t_model, spec)
+        t_vars = t_model.init(jax.random.PRNGKey(0), t_feat)
+        t_vars = preload_variables(dist_cfg["checkpoint"], t_vars)
+        teacher = (t_model, t_vars)
+        log(f"distillation teacher: {t_config['model']['path']} "
+            f"from {dist_cfg['checkpoint']}")
+
     trainer = Trainer(
         model,
         step_cfg,
@@ -190,6 +210,7 @@ def main():
         example_feat=feat,
         rng=jax.random.PRNGKey(seed),
         mesh=mesh,
+        teacher=teacher,
     )
     trainer.train()
 
