@@ -117,6 +117,22 @@ class SynMixDataset:
             else self.mc_rir_list
         )
         self._mc_measured = bool(self.mc_rir_list) and c.num_mics > 1
+        self._build_mixers()
+
+    def set_snr_range(self, snr_range) -> None:
+        """Point-in-training SNR override (curriculum learning: start easy,
+        anneal toward the full range). Rebuilds the jitted mix closures --
+        they bake ``mixer_cfg`` at trace time, so mutating it in place would
+        silently keep serving the stale compiled range."""
+        parse_snr_range(snr_range)
+        if tuple(snr_range) == self.mixer_cfg.snr_range:
+            return
+        self.mixer_cfg = dataclasses.replace(
+            self.mixer_cfg, snr_range=tuple(snr_range))
+        self._build_mixers()
+
+    def _build_mixers(self) -> None:
+        c = self.cfg
         if c.num_mics > 1:
             if self._mc_measured:
                 from cruse_tpu.data.mixer import mix_batch_mc_rir

@@ -94,13 +94,25 @@ def prefetch(batches: Iterable, size: int = 2, device_put: bool = True) -> Itera
 
 
 class PrefetchingLoader:
-    """Re-iterable wrapper: each epoch gets a fresh producer thread."""
+    """Re-iterable wrapper: each epoch gets a fresh producer thread.
+
+    If the factory takes an ``epoch`` kwarg, the Trainer's per-epoch call
+    forwards it (curriculum schedules); plain factories are untouched.
+    """
 
     def __init__(self, make_batches, size: int = 2):
+        import inspect
+
         self.make_batches = make_batches
         self.size = size
+        try:
+            self._wants_epoch = "epoch" in inspect.signature(make_batches).parameters
+        except (TypeError, ValueError):
+            self._wants_epoch = False
 
-    def __call__(self):
+    def __call__(self, epoch: int | None = None):
+        if epoch is not None and self._wants_epoch:
+            return prefetch(self.make_batches(epoch=epoch), self.size)
         return prefetch(self.make_batches(), self.size)
 
     def __iter__(self):

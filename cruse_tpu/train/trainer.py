@@ -408,8 +408,15 @@ class Trainer:
     def _train_epoch(self, epoch: int) -> None:
         assert self.train_batches is not None, "no training data configured"
         # callables are re-invoked per epoch (fresh iterator); plain iterables
-        # are consumed across epochs (reference DataLoader-style)
-        batches = self.train_batches() if callable(self.train_batches) else self.train_batches
+        # are consumed across epochs (reference DataLoader-style). Factories
+        # that accept epoch= get it (curriculum schedules).
+        if callable(self.train_batches):
+            try:
+                batches = self.train_batches(epoch=epoch)
+            except TypeError:
+                batches = self.train_batches()
+        else:
+            batches = self.train_batches
         running = {}  # metric -> (sum, finite count, non-finite count)
         window = self._profile_window(epoch)
         tracing = False

@@ -418,3 +418,40 @@ def test_room_sampler_covers_whole_interior():
     assert centers[:, 0].max() > 3.0 and centers[:, 1].max() > 3.0
     # still off the walls
     assert centers[:, :2].min() >= 0.5 - 0.2  # array offsets extend slightly
+
+
+def test_set_snr_range_rebuilds_mixers(tmp_path, rng):
+    """Curriculum hook: set_snr_range must change the ACHIEVED mixing SNR
+    (the jitted mix closures bake the config at trace time, so a naive
+    in-place mutation would silently keep the stale compiled range)."""
+    clean_mf = _make_corpus(tmp_path / "clean", rng)
+    noise_mf = _make_corpus(tmp_path / "noise", rng)
+    ds = SynMixDataset(
+        SynMixConfig(
+            clean_manifest=clean_mf,
+            noise_manifest=noise_mf,
+            sub_sample_seconds=1.0,
+            batch_size=2,
+            snr_range=(0, 0),
+            reverb_proportion=0.0,
+            eq_proportion=0.0,
+        )
+    )
+
+    def achieved_snr(batch):
+        noisy, target = np.asarray(batch["noisy"]), np.asarray(batch["clean"])
+        noise_part = noisy - target
+        return 10 * np.log10(
+            np.sum(target**2, -1) / (np.sum(noise_part**2, -1) + 1e-12))
+
+    b0 = next(iter(ds.batches(num_batches=1)))
+    assert np.abs(achieved_snr(b0) - 0.0).max() < 0.5
+
+    ds.set_snr_range((20, 20))
+    b1 = next(iter(ds.batches(num_batches=1)))
+    assert np.abs(achieved_snr(b1) - 20.0).max() < 0.5
+
+    import pytest
+
+    with pytest.raises(Exception):
+        ds.set_snr_range((10,))  # not a [low, high] pair

@@ -552,3 +552,27 @@ def test_early_stopping_patience(tmp_path, rng, monkeypatch):
     # never-best + patience 2: epoch 1/2 validations score async, the stop
     # flag latches at epoch 3's harvest at the latest -> well short of 6
     assert len(epochs_trained) <= 4, epochs_trained
+
+
+def test_trainer_passes_epoch_to_curriculum_factory(tmp_path, rng):
+    """Factories that accept epoch= get the 1-based epoch each time (the
+    [train_dataset.curriculum] SNR-annealing hook), through the
+    PrefetchingLoader."""
+    from cruse_tpu.data.prefetch import PrefetchingLoader
+
+    model, step_cfg, tcfg, batch, feat = _setup(rng, tmp_path)
+    seen = []
+
+    def make_batches(epoch=1):
+        seen.append(epoch)
+        return iter([batch, batch])
+
+    trainer = Trainer(
+        model, step_cfg, tcfg,
+        train_batches=PrefetchingLoader(make_batches),
+        validation_batches=[batch],
+        example_feat=feat,
+        writer=False,
+    )
+    trainer.train()
+    assert seen == [1, 2], seen

@@ -197,13 +197,32 @@ def main():
         log(f"distillation teacher: {t_config['model']['path']} "
             f"from {dist_cfg['checkpoint']}")
 
+    # [train_dataset.curriculum]: per-epoch SNR annealing — snr_start (e.g.
+    # [15, 25], easy) interpolates linearly to snr_end (default: the
+    # configured snr_range) over `epochs` (default: the whole run).
+    cur = config.get("train_dataset", {}).get("curriculum")
+    if cur:
+        s0 = tuple(float(v) for v in cur["snr_start"])
+        s1 = tuple(float(v) for v in cur.get(
+            "snr_end", config["train_dataset"]["args"].get("snr_range", (-5, 20))))
+        horizon = max(int(cur.get("epochs", tcfg.epochs)), 1)
+
+        def make_train_batches(epoch: int = 1):
+            t = min(max(epoch - 1, 0) / max(horizon - 1, 1), 1.0)
+            lo = round(s0[0] + t * (s1[0] - s0[0]))
+            hi = round(s0[1] + t * (s1[1] - s0[1]))
+            train_ds.set_snr_range((lo, hi))
+            log(f"curriculum: epoch {epoch} SNR range [{lo}, {hi}] dB")
+            return train_ds.batches(num_batches=tcfg.steps_per_epoch)
+    else:
+        def make_train_batches():
+            return train_ds.batches(num_batches=tcfg.steps_per_epoch)
+
     trainer = Trainer(
         model,
         step_cfg,
         tcfg,
-        train_batches=PrefetchingLoader(
-            lambda: train_ds.batches(num_batches=tcfg.steps_per_epoch), size=2
-        ),
+        train_batches=PrefetchingLoader(make_train_batches, size=2),
         validation_batches=list(valid_ds.batches(num_batches=2)),
         resume=args.resume,
         preload_path=args.preloaded_model_path,
