@@ -30,6 +30,19 @@ def _quantize(variables):
     return variables
 
 
+def _artifact_meta(args, config) -> dict:
+    """Container metadata a code-free consumer needs to feed the graph."""
+    ac = config["acoustics"]
+    return {
+        "model": config["model"]["path"],
+        "sr": int(ac.get("sr", 16000)),
+        "n_fft": int(ac["n_fft"]),
+        "hop_length": int(ac["hop_length"]),
+        "batch": int(args.batch),
+        "quantized": args.quantize,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser(description="export enhancement graph")
     parser.add_argument("-C", "--configuration", required=True)
@@ -55,6 +68,7 @@ def main():
     maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
     from jax import export as jexport
 
+    from cruse_tpu.infer import artifact as artifact_lib
     from cruse_tpu.dsp.stft import StftConfig, stft, istft
     from cruse_tpu.models import build_from_config, features_for_model
     from cruse_tpu.train.step import forward_for_model
@@ -92,16 +106,22 @@ def main():
             if enhancer._is_mc else (args.batch, stream_cfg.hop_length)
         )
         hop = jnp.zeros(hop_shape, jnp.float32)
-        exported = jexport.export(jax.jit(enhancer._step_impl))(state, hop)
-        blob = exported.serialize()
-        with open(args.output, "wb") as f:
-            f.write(blob)
-        log(f"exported {len(blob)/1e6:.2f} MB streaming step "
+        step_blob = jexport.export(jax.jit(enhancer._step_impl))(state, hop).serialize()
+        # the carried state is an opaque model-family pytree; ship its
+        # initial value as a no-arg exported graph so a consumer
+        # (tools/run_exported.py) never needs the model code to build it
+        init_blob = jexport.export(
+            jax.jit(lambda: enhancer.init_state(args.batch)))().serialize()
+        artifact_lib.save_streaming(
+            args.output, step_blob, init_blob,
+            dict(_artifact_meta(args, config),
+                 num_mics=(int(hop_shape[1]) if enhancer._is_mc else None)))
+        log(f"exported {(len(step_blob)+len(init_blob))/1e6:.2f} MB streaming step "
             f"(B={args.batch}, hop={stream_cfg.hop_length}"
             + (f", mics={hop_shape[1]}" if enhancer._is_mc else "") + ") "
             f"-> {args.output}")
-        reloaded = jexport.deserialize(open(args.output, "rb").read())
-        out, new_state = reloaded.call(state, hop)
+        art = artifact_lib.load(args.output)
+        out, new_state = art.step(art.init_state(), hop)
         assert out.shape == (args.batch, stream_cfg.hop_length)
         log("reload check OK")
         return
@@ -126,15 +146,13 @@ def main():
         return istft((enhanced_ri[..., 0], enhanced_ri[..., 1]), scfg, length=noisy.shape[-1])
 
     example = jnp.zeros((args.batch, length), jnp.float32)
-    exported = jexport.export(jax.jit(forward))(example)
-    blob = exported.serialize()
-    with open(args.output, "wb") as f:
-        f.write(blob)
+    blob = jexport.export(jax.jit(forward))(example).serialize()
+    artifact_lib.save_offline(args.output, blob, _artifact_meta(args, config))
     log(f"exported {len(blob)/1e6:.2f} MB graph for input [{args.batch}, {length}] -> {args.output}")
 
-    # reload + smoke check
-    reloaded = jexport.deserialize(open(args.output, "rb").read())
-    out = reloaded.call(example)
+    # reload + smoke check through the consumer loader
+    art = artifact_lib.load(args.output)
+    out = art.enhance(example)
     assert out.shape == (args.batch, length)
     log("reload check OK")
 
