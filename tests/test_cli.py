@@ -66,6 +66,39 @@ def test_preprocess_dataset_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_preprocess_dataset_rt60_filter(tmp_path):
+    """--max-rt60 keeps short-reverb RIRs, rejects long-reverb ones with an
+    `rt60` rejection reason, and prints corpus RT60 stats (the reference's
+    sketched filter, preprocess_dataset.py:130-148, wired for real)."""
+    from cruse_tpu.data.wavio import write_wav
+    from cruse_tpu.dsp.rt60 import suppress_late_reflections
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    src = tmp_path / "rirs"
+    os.makedirs(src)
+
+    def _rir(rt60, n=sr):  # exponential-decay synthetic RIR
+        x = rng.standard_normal(n).astype(np.float64)
+        x[0] = 3.0
+        return suppress_late_reflections(x, sr, rt60).astype(np.float32)
+
+    write_wav(str(src / "dry.wav"), (_rir(0.15) * 8000).astype(np.int16), sr)
+    write_wav(str(src / "wet.wav"), (_rir(1.50) * 8000).astype(np.int16), sr)
+    out, rej = tmp_path / "keep.txt", tmp_path / "rej.txt"
+    res = _run_tool("preprocess_dataset.py",
+                    [str(src), "--out", str(out), "--reject-out", str(rej),
+                     "--min-seconds", "0.5", "--max-rt60", "0.6",
+                     "--allow-clipped"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    kept = [l for l in out.read_text().splitlines() if l.strip()]
+    rejected = [l for l in rej.read_text().splitlines() if l.strip()]
+    assert len(kept) == 1 and kept[0].endswith("dry.wav")
+    assert len(rejected) == 1 and "rt60" in rejected[0] and "wet.wav" in rejected[0]
+    assert "accepted RT60" in res.stdout  # corpus stats line
+
+
+@pytest.mark.slow
 def test_evaluate_cli(tmp_path):
     ref = tmp_path / "clean"
     files = _write_wavs(ref, ["u1", "u2"], seconds=1.0)

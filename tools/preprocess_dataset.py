@@ -50,10 +50,20 @@ def main():
     parser.add_argument("--max-seconds", type=float, default=60.0)
     parser.add_argument("--min-activity", type=float, default=0.0, help="min active fraction [0,1]")
     parser.add_argument("--allow-clipped", action="store_true")
+    parser.add_argument(
+        "--max-rt60", type=float, default=None,
+        help="for RIR corpora: reject impulse responses whose 1 kHz-band RT60 "
+             "exceeds this many seconds (the reference's sketched-but-unwired "
+             "RT60 filter, preprocess_dataset.py:130-148); unestimable RT60s "
+             "(no decay segment) are rejected too")
+    parser.add_argument(
+        "--rt60-band", type=float, default=1000.0,
+        help="octave band center (Hz) for --max-rt60; 0 = broadband")
     args = parser.parse_args()
 
     accepted, rejected = [], []
     total_sec = 0.0
+    rt60s = []
     for f in collect_candidates(args.sources):
         try:
             wav, sr = read_wav(f, sr=args.sr)
@@ -70,6 +80,18 @@ def main():
         if args.min_activity > 0 and activity_detector(wav, fs=sr) < args.min_activity:
             rejected.append(f"{f}  # inactive")
             continue
+        if args.max_rt60 is not None:
+            from cruse_tpu.dsp.rt60 import estimate_rt60
+
+            rt60 = estimate_rt60(wav if wav.ndim == 1 else wav[0], sr,
+                                 band=args.rt60_band or None)
+            if not np.isfinite(rt60):
+                rejected.append(f"{f}  # rt60 unestimable")
+                continue
+            if rt60 > args.max_rt60:
+                rejected.append(f"{f}  # rt60 {rt60:.2f}s")
+                continue
+            rt60s.append(rt60)
         accepted.append(f)
         total_sec += dur
         if args.total_hrs and total_sec / 3600.0 >= args.total_hrs:
@@ -82,6 +104,13 @@ def main():
         f"accepted {len(accepted)} files ({total_sec / 3600.0:.2f} h), "
         f"rejected {len(rejected)} -> {args.out}"
     )
+    if rt60s:
+        v = np.asarray(rt60s)
+        print(
+            f"accepted RT60 ({args.rt60_band or 'broadband'} Hz band): "
+            f"mean {v.mean():.2f}s median {np.median(v):.2f}s "
+            f"p90 {np.percentile(v, 90):.2f}s"
+        )
 
 
 if __name__ == "__main__":
