@@ -12,6 +12,14 @@ Behavior mirrors the reference prototype (test/testBSRNN.py:34-184):
 Layout: [B, T, K, N] (time-major, band, channel). The per-band ragged
 Linears stay a static python loop (31 small matmuls fused by XLA); the LSTM
 stacks fold the band axis into the batch so each scan step is a wide matmul.
+
+``causal=True`` swaps every GroupNorm(1, C) — the ONE non-causal piece of
+the prototype besides the band-axis LSTMs (which run over frequency, not
+time) — for a cumulative layer norm (per-frame stats over everything seen
+so far, base_model.py:263-300 math) with the same learnable affine. That
+makes the whole net frame-streamable: ``init_state``/carried state thread
+the per-norm running sums and the time-LSTM (h, c) through T=1 steps,
+bit-exact with the offline causal forward (tested).
 """
 from __future__ import annotations
 
@@ -23,6 +31,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cruse_tpu.nn.lstm import LSTM
+from cruse_tpu.nn.norms import cumulative_layer_norm_carry
 
 # band widths over 257 bins (testBSRNN.py:104-107)
 BAND_WIDTHS: Tuple[int, ...] = (
@@ -51,22 +60,48 @@ class _GroupNorm1(nn.Module):
         return normed * scale.reshape(shape) + bias.reshape(shape)
 
 
+class _CausalNorm1(nn.Module):
+    """Causal analogue of torch GroupNorm(1, C): per-frame normalization by
+    the cumulative mean/variance over every feature seen up to frame t
+    (base_model.py:263-300 statistics), same learnable per-channel affine.
+    Returns (y, carry); carry=None starts a fresh utterance."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, carry=None, channel_axis: int = -1):
+        b, t = x.shape[0], x.shape[1]
+        y, new_carry = cumulative_layer_norm_carry(x.reshape(b, t, -1), carry)
+        y = y.reshape(x.shape)
+        c = x.shape[channel_axis]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        shape = [1] * x.ndim
+        shape[channel_axis] = c
+        return y * scale.reshape(shape) + bias.reshape(shape), new_carry
+
+
 class BandSplit(nn.Module):
     """[B, T, F, 2] RI spectrum -> [B, T, K, N] band features."""
 
     channels: int = 128
     widths: Tuple[int, ...] = BAND_WIDTHS
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x_ri: jax.Array) -> jax.Array:
-        outs = []
+    def __call__(self, x_ri: jax.Array, carries=None):
+        outs, new_carries = [], []
         start = 0
         for i, w in enumerate(self.widths):
             xb = x_ri[:, :, start : start + w, :].reshape(*x_ri.shape[:2], w * 2)
-            xb = _GroupNorm1(name=f"norm_{i}")(xb)
+            if self.causal:
+                xb, c = _CausalNorm1(name=f"norm_{i}")(
+                    xb, None if carries is None else carries[i])
+                new_carries.append(c)
+            else:
+                xb = _GroupNorm1(name=f"norm_{i}")(xb)
             outs.append(nn.Dense(self.channels, name=f"fc_{i}")(xb))
             start += w
-        return jnp.stack(outs, axis=2)  # [B, T, K, N]
+        z = jnp.stack(outs, axis=2)  # [B, T, K, N]
+        return z, (tuple(new_carries) if self.causal else None)
 
 
 class MaskDecoder(nn.Module):
@@ -74,20 +109,27 @@ class MaskDecoder(nn.Module):
 
     channels: int = 128
     widths: Tuple[int, ...] = BAND_WIDTHS
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
-        outs = []
+    def __call__(self, z: jax.Array, carries=None):
+        outs, new_carries = [], []
         for i, w in enumerate(self.widths):
             xb = z[:, :, i, :]
-            xb = _GroupNorm1(name=f"norm_{i}")(xb)
+            if self.causal:
+                xb, c = _CausalNorm1(name=f"norm_{i}")(
+                    xb, None if carries is None else carries[i])
+                new_carries.append(c)
+            else:
+                xb = _GroupNorm1(name=f"norm_{i}")(xb)
             xb = nn.Dense(4 * self.channels, name=f"fc1_{i}")(xb)
             xb = jnp.tanh(xb)
             xb = nn.Dense(12 * w, name=f"fc2_{i}")(xb)
             a, b = jnp.split(xb, 2, axis=-1)
             xb = a * jax.nn.sigmoid(b)  # GLU -> 6w
             outs.append(xb.reshape(*xb.shape[:-1], w, 3, 2))
-        return jnp.concatenate(outs, axis=2)  # [B, T, F, 3, 2]
+        m = jnp.concatenate(outs, axis=2)  # [B, T, F, 3, 2]
+        return m, (tuple(new_carries) if self.causal else None)
 
 
 def apply_three_tap_mask(spec: jax.Array, m: jax.Array) -> jax.Array:
@@ -101,13 +143,41 @@ def apply_three_tap_mask(spec: jax.Array, m: jax.Array) -> jax.Array:
 
 
 class BSRNN(nn.Module):
-    """Complex spectrum [B, T, F=257] -> enhanced complex spectrum."""
+    """Complex spectrum [B, T, F=257] -> enhanced complex spectrum.
+
+    ``causal=False`` reproduces the reference prototype exactly (offline:
+    GroupNorm(1, C) reads the whole time axis). ``causal=True`` streams:
+    cumulative norms + carried time-LSTM state, driven per-hop by
+    StreamingEnhancer like every other causal family."""
 
     num_channel: int = 128
     num_layer: int = 6
+    causal: bool = False
 
     def compress(self, mag: jax.Array) -> jax.Array:  # uniform model API
         return mag
+
+    def init_state(self, batch_size: int):
+        """Fresh streaming carry (causal variant only): per-norm cumulative
+        (sum, power, count) triples + per-time-LSTM (h, c)."""
+        assert self.causal, "only the causal BSRNN variant carries state"
+        k, n = len(BAND_WIDTHS), self.num_channel
+
+        def norm_carry():
+            z = jnp.zeros((batch_size,), jnp.float32)
+            return (z, z, z)
+
+        def lstm_state():
+            z = jnp.zeros((batch_size * k, 1, 2 * n), jnp.float32)
+            return (z, z)
+
+        return {
+            "split": tuple(norm_carry() for _ in BAND_WIDTHS),
+            "time_norm": tuple(norm_carry() for _ in range(self.num_layer)),
+            "time_lstm": tuple(lstm_state() for _ in range(self.num_layer)),
+            "band_norm": tuple(norm_carry() for _ in range(self.num_layer)),
+            "dec": tuple(norm_carry() for _ in BAND_WIDTHS),
+        }
 
     @nn.compact
     def __call__(self, spec: jax.Array, state=None, train: bool = False):
@@ -116,28 +186,63 @@ class BSRNN(nn.Module):
             assert spec.shape[-1] == 2, spec.shape
             spec = jax.lax.complex(spec[..., 0], spec[..., 1])
         x_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-        z = BandSplit(self.num_channel, name="band_split")(x_ri)  # [B, T, K, N]
+        causal = self.causal
+        st = state if (causal and state is not None) else None
+
+        def carry(key, i=None):
+            if st is None:
+                return None
+            return st[key] if i is None else st[key][i]
+
+        z, split_c = BandSplit(self.num_channel, causal=causal, name="band_split")(
+            x_ri, carry("split"))  # [B, T, K, N]
         b, t, k, n = z.shape
 
         skip = z
+        time_norm_c, time_lstm_c, band_norm_c = [], [], []
         for i in range(self.num_layer):
-            out = _GroupNorm1(name=f"norm_t_{i}")(skip)
+            if causal:
+                out, c = _CausalNorm1(name=f"norm_t_{i}")(skip, carry("time_norm", i))
+                time_norm_c.append(c)
+            else:
+                out = _GroupNorm1(name=f"norm_t_{i}")(skip)
             out = out.transpose(0, 2, 1, 3).reshape(b * k, t, n)
-            out, _ = LSTM(2 * self.num_channel, name=f"lstm_t_{i}")(out)
+            out, lc = LSTM(2 * self.num_channel, name=f"lstm_t_{i}")(
+                out, carry("time_lstm", i) if causal else None)
+            if causal:
+                time_lstm_c.append(lc)
             out = nn.Dense(self.num_channel, name=f"fc_t_{i}")(out)
             out = out.reshape(b, k, t, n).transpose(0, 2, 1, 3)
             skip = skip + out
 
         for i in range(self.num_layer):
-            out = _GroupNorm1(name=f"norm_k_{i}")(skip)
+            if causal:
+                out, c = _CausalNorm1(name=f"norm_k_{i}")(skip, carry("band_norm", i))
+                band_norm_c.append(c)
+            else:
+                out = _GroupNorm1(name=f"norm_k_{i}")(skip)
+            # the band-axis LSTM runs over FREQUENCY bands within one frame
+            # (non-causal over frequency is fine for streaming; no time state)
             out = out.reshape(b * t, k, n)
             out, _ = LSTM(2 * self.num_channel, bidirectional=True, name=f"lstm_k_{i}")(out)
             out = nn.Dense(self.num_channel, name=f"fc_k_{i}")(out)
             out = out.reshape(b, t, k, n)
             skip = skip + out
 
-        m = MaskDecoder(self.num_channel, name="mask_decoder")(skip)
-        return apply_three_tap_mask(spec, m), None
+        m, dec_c = MaskDecoder(self.num_channel, causal=causal, name="mask_decoder")(
+            skip, carry("dec"))
+        new_state = (
+            {
+                "split": split_c,
+                "time_norm": tuple(time_norm_c),
+                "time_lstm": tuple(time_lstm_c),
+                "band_norm": tuple(band_norm_c),
+                "dec": dec_c,
+            }
+            if causal
+            else None
+        )
+        return apply_three_tap_mask(spec, m), new_state
 
 
 class LearnableSigmoid(nn.Module):

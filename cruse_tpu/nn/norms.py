@@ -88,6 +88,33 @@ def cumulative_layer_norm(x: jax.Array) -> jax.Array:
     return (x - cum_mean[..., None]) / cum_std[..., None]
 
 
+def cumulative_layer_norm_carry(x: jax.Array, carry=None):
+    """Stateful cumulative_layer_norm: returns (y, carry) where carry =
+    (running sum, running power sum, running count), each shaped like the
+    leading batch dims, so chunked/per-hop streaming is bit-exact with one
+    full-sequence call (the same contract as cumulative_laplace_norm_carry).
+    x: [..., T, F]."""
+    n_freqs = x.shape[-1]
+    t = x.shape[-2]
+    if carry is None:
+        prev_sum = jnp.zeros(x.shape[:-2], x.dtype)
+        prev_pow = jnp.zeros(x.shape[:-2], x.dtype)
+        prev_count = jnp.zeros(x.shape[:-2], x.dtype)
+    else:
+        prev_sum, prev_pow, prev_count = carry
+    step_sum = jnp.sum(x, axis=-1)  # [..., T]
+    step_pow = jnp.sum(jnp.square(x), axis=-1)
+    cum_sum = prev_sum[..., None] + jnp.cumsum(step_sum, axis=-1)
+    cum_pow = prev_pow[..., None] + jnp.cumsum(step_pow, axis=-1)
+    counts = prev_count[..., None] + jnp.arange(
+        n_freqs, n_freqs * t + 1, n_freqs, dtype=x.dtype
+    )
+    cum_mean = cum_sum / counts
+    cum_var = (cum_pow - 2.0 * cum_mean * cum_sum) / counts + jnp.square(cum_mean)
+    y = (x - cum_mean[..., None]) / jnp.sqrt(cum_var + EPSILON)[..., None]
+    return y, (cum_sum[..., -1], cum_pow[..., -1], counts[..., -1])
+
+
 def forgetting_norm(x: jax.Array, sample_length: int) -> jax.Array:
     """Per-frame EMA mean normalization with warmup (base_model.py:124-155).
 

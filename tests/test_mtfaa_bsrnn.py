@@ -245,6 +245,45 @@ def test_bsrnn_forward(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_bsrnn_causal_chunk_carry_matches_full(rng):
+    """Causal BSRNN: chunked forward threading the carried state equals one
+    full-sequence call (cumulative-norm carries + time-LSTM state), and the
+    causal param tree matches the offline variant leaf-for-leaf (same names/
+    shapes — offline checkpoints warm-start the causal net directly)."""
+    net = BSRNN(num_channel=8, num_layer=1, causal=True)
+    spec = jnp.asarray(
+        (rng.standard_normal((2, 8, 257)) + 1j * rng.standard_normal((2, 8, 257))).astype(np.complex64)
+    )
+    v = net.init(jax.random.PRNGKey(0), spec)
+    full, _ = net.apply(v, spec)
+
+    state = net.init_state(2)
+    outs = []
+    for lo, hi in ((0, 3), (3, 4), (4, 8)):  # ragged chunks incl. T=1
+        o, state = net.apply(v, spec[:, lo:hi], state)
+        outs.append(np.asarray(o))
+    chunked = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(chunked, np.asarray(full), atol=1e-5)
+
+    offline = BSRNN(num_channel=8, num_layer=1, causal=False)
+    vo = offline.init(jax.random.PRNGKey(0), spec)
+    paths = lambda t: {tuple(p) for p, _ in jax.tree_util.tree_leaves_with_path(t)}
+    assert paths(v["params"]) == paths(vo["params"])
+
+
+def test_bsrnn_causal_is_causal(rng):
+    """Future frames must not influence past outputs in the causal variant."""
+    net = BSRNN(num_channel=8, num_layer=1, causal=True)
+    a = (rng.standard_normal((1, 6, 257)) + 1j * rng.standard_normal((1, 6, 257))).astype(np.complex64)
+    b = a.copy()
+    b[:, 4:] += (1.0 + 0.5j)  # perturb the future only
+    v = net.init(jax.random.PRNGKey(0), jnp.asarray(a))
+    ya, _ = net.apply(v, jnp.asarray(a))
+    yb, _ = net.apply(v, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(ya)[:, :4], np.asarray(yb)[:, :4], atol=1e-5)
+    assert np.abs(np.asarray(ya)[:, 4:] - np.asarray(yb)[:, 4:]).max() > 1e-3
+
+
 def test_discriminator(rng):
     d = Discriminator(ndf=4)
     x = jnp.asarray(np.abs(rng.standard_normal((2, 32, 64))).astype(np.float32))

@@ -67,6 +67,23 @@ def test_cumulative_layer_norm_matches_golden(rng):
     np.testing.assert_allclose(np.transpose(ours, (0, 1, 3, 2)), ref, atol=2e-4)
 
 
+def test_cumulative_layer_norm_carry_chunk_exact(rng):
+    """Chunked calls threading the (sum, power, count) carry are bit-exact
+    with one full-sequence cumulative_layer_norm call (the causal-BSRNN
+    streaming contract)."""
+    x = np.abs(rng.standard_normal((3, 20, 16))).astype(np.float32)
+    full = np.asarray(norms.cumulative_layer_norm(jnp.asarray(x)))
+    full_carry, _ = norms.cumulative_layer_norm_carry(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(full_carry), full, atol=1e-6)
+
+    carry = None
+    outs = []
+    for lo, hi in ((0, 7), (7, 8), (8, 20)):  # ragged chunks incl. T=1
+        y, carry = norms.cumulative_layer_norm_carry(jnp.asarray(x[:, lo:hi]), carry)
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full, atol=1e-6)
+
+
 def test_offline_norms(rng):
     x = np.abs(rng.standard_normal((2, 1, 10, 20))).astype(np.float32)
     xt = torch.from_numpy(x)
