@@ -21,6 +21,11 @@ the consumer never constructs it.
 
 Raw (container-less) `jax.export` blobs from older exports still load as
 offline artifacts with empty metadata.
+
+The streaming carry is a `StreamState` namedtuple whose serialization is
+registered HERE (not in `cruse_tpu.infer.streaming`) so this file alone is
+enough to deserialize step.bin/init.bin — a consumer that copies artifact.py
+out of the package needs only jax. `streaming.py` imports the type from here.
 """
 from __future__ import annotations
 
@@ -28,8 +33,29 @@ import io
 import json
 import os
 import zipfile
+from typing import Any, NamedTuple
 
 FORMAT = "cruse-tpu-artifact/1"
+
+
+class StreamState(NamedTuple):
+    """Per-hop streaming carry (built by `cruse_tpu.infer.streaming`, shipped
+    opaquely inside streaming containers as the exported init graph's output).
+    """
+
+    input_tail: Any  # [B(, M), n_fft - hop] analysis-buffer samples
+    ola_tail: Any  # [B, n_fft - hop] synthesis overlap-add tail
+    model_state: Any  # opaque model-family pytree
+
+
+try:  # registration is what lets jax.export round-trip the carry pytree
+    import jax as _jax
+
+    _jax.export.register_namedtuple_serialization(
+        StreamState, serialized_name="cruse_tpu.infer.streaming.StreamState"
+    )
+except (ImportError, AttributeError):  # older jax without namedtuple support
+    pass
 
 
 # ---------------- save ----------------
@@ -89,6 +115,19 @@ class StreamingArtifact:
     def init_state(self):
         return self._init.call()
 
+    def prime(self, state, samples):
+        """Pre-fill the analysis buffer with the utterance's first
+        ``n_fft - hop`` samples so step outputs are time-aligned with the
+        offline path (mirrors StreamingEnhancer.prime — a pure pytree
+        replace, so it needs no exported graph and works on any container).
+        """
+        import jax.numpy as jnp
+
+        tail = state.input_tail
+        samples = jnp.asarray(samples, tail.dtype)
+        assert samples.shape == tail.shape, (samples.shape, tail.shape)
+        return state._replace(input_tail=samples)
+
     def step(self, state, hop_samples):
         return self._step.call(state, hop_samples)
 
@@ -105,12 +144,13 @@ def load(path: str):
         meta = json.loads(zf.read("meta.json").decode("utf-8"))
         if meta.get("format") != FORMAT:
             raise ValueError(f"not a {FORMAT} container: {path} ({meta.get('format')!r})")
-        if meta["kind"] == "offline":
+        kind = meta.get("kind")  # .get: malformed containers fall through to
+        if kind == "offline":    # the ValueError below, not a KeyError
             return OfflineArtifact(jexport.deserialize(zf.read("graph.bin")), meta)
-        if meta["kind"] == "streaming":
+        if kind == "streaming":
             return StreamingArtifact(
                 jexport.deserialize(zf.read("step.bin")),
                 jexport.deserialize(zf.read("init.bin")),
                 meta,
             )
-    raise ValueError(f"unknown artifact kind {meta['kind']!r} in {path}")
+    raise ValueError(f"unknown artifact kind {kind!r} in {path}")

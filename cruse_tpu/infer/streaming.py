@@ -17,7 +17,7 @@ conv-STFT contract (feature.py:272-398).
 from __future__ import annotations
 
 import time
-from typing import Any, NamedTuple
+from typing import Any
 
 import numpy as np
 import jax
@@ -26,19 +26,10 @@ from jax import lax
 
 from cruse_tpu.dsp.stft import StftConfig, _analysis_kernel, _synthesis_kernel, _padded_window
 
-
-class StreamState(NamedTuple):
-    input_tail: jax.Array  # [B, n_fft - hop]
-    ola_tail: jax.Array  # [B, n_fft - hop]
-    model_state: Any
-
-
-try:  # the per-hop step is exportable (tools/export.py --streaming)
-    jax.export.register_namedtuple_serialization(
-        StreamState, serialized_name="cruse_tpu.infer.streaming.StreamState"
-    )
-except AttributeError:  # older jax without namedtuple serialization
-    pass
+# The carry type (and its jax.export serialization registration) lives in
+# artifact.py so the artifact loader alone can deserialize streaming
+# containers — a standalone consumer needs only jax + that one file.
+from cruse_tpu.infer.artifact import StreamState
 
 
 def _steady_envelope(cfg: StftConfig) -> np.ndarray:
@@ -69,6 +60,7 @@ class StreamingEnhancer:
         from cruse_tpu.models.mtfaa import MtfaaNet
         from cruse_tpu.models.mc_cruse import McCruseNet
         from cruse_tpu.models.fullsubnet import FullSubNet
+        from cruse_tpu.models.bsrnn import BSRNN
 
         self.model = model
         self.variables = variables
@@ -82,6 +74,16 @@ class StreamingEnhancer:
         self._is_complex = isinstance(model, MtfaaNet)
         self._is_mc = isinstance(model, McCruseNet)  # [B, M, hop] in, ref-mic out
         self._is_cirm = isinstance(model, FullSubNet)  # complex-mask head
+        self._is_bsrnn = isinstance(model, BSRNN)  # complex in/out, band split
+        if self._is_bsrnn:
+            assert model.causal, (
+                "BSRNN streaming needs causal=True (the offline variant's "
+                "GroupNorm(1, C) layers read the whole time axis)")
+            from cruse_tpu.models.bsrnn import BAND_WIDTHS
+
+            assert f == sum(BAND_WIDTHS), (
+                f"BSRNN's band table covers {sum(BAND_WIDTHS)} bins; "
+                f"stft config has {f} (use n_fft={2 * (sum(BAND_WIDTHS) - 1)})")
         if self._is_complex:
             assert model.config.attention_window is not None, (
                 "MTFAA streaming needs a finite attention_window "
@@ -153,6 +155,13 @@ class StreamingEnhancer:
             (enh, _mask), model_state = self.model.apply(
                 variables, cspec, state.model_state
             )
+            enh_ri = jnp.concatenate(
+                [jnp.real(enh[:, 0]), jnp.imag(enh[:, 0])], axis=-1
+            )
+            return self._finish(state, frame, enh_ri, model_state)
+        if self._is_bsrnn:
+            cspec = jnp.stack([real, imag], axis=-1)[:, None]  # [B, 1, F, 2]
+            enh, model_state = self.model.apply(variables, cspec, state.model_state)
             enh_ri = jnp.concatenate(
                 [jnp.real(enh[:, 0]), jnp.imag(enh[:, 0])], axis=-1
             )

@@ -94,6 +94,91 @@ def test_streaming_artifact_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a_out), np.asarray(e_out), atol=1e-5)
 
 
+def test_streaming_container_standalone_consumer(tmp_path, rng):
+    """artifact.py ALONE (loaded by file path in a fresh process, without
+    importing the cruse_tpu package) deserializes and drives a streaming
+    container — the self-containedness its docstring promises. Regression
+    for the round-3 advisor finding: StreamState serialization used to be
+    registered in streaming.py, so a standalone consumer failed with
+    'unregistered type' unless the whole model stack was imported."""
+    from jax import export as jexport
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+
+    model, variables, _ = _tiny_forward()
+    scfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    enhancer = StreamingEnhancer(model, variables, scfg)
+    state = enhancer.init_state(1)
+    hop = jnp.zeros((1, 160), jnp.float32)
+    step_blob = jexport.export(jax.jit(enhancer._step_impl))(state, hop).serialize()
+    init_blob = jexport.export(jax.jit(lambda: enhancer.init_state(1)))().serialize()
+    path = str(tmp_path / "s.jaxexport")
+    artifact_lib.save_streaming(path, step_blob, init_blob,
+                                {"sr": 16000, "n_fft": 320, "hop_length": 160})
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, importlib.util, numpy as np\n"
+        "assert 'cruse_tpu' not in sys.modules\n"
+        f"spec = importlib.util.spec_from_file_location('artifact_standalone', "
+        f"{os.path.join(REPO, 'cruse_tpu', 'infer', 'artifact.py')!r})\n"
+        "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)\n"
+        "assert 'cruse_tpu' not in sys.modules, 'loader must not pull the package'\n"
+        f"art = m.load({path!r})\n"
+        "st = art.init_state()\n"
+        "st = art.prime(st, np.zeros((1, 160), np.float32))\n"
+        "out, st = art.step(st, np.zeros((1, 160), np.float32))\n"
+        "assert out.shape == (1, 160), out.shape\n"
+        "print('STANDALONE_OK')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "STANDALONE_OK" in res.stdout
+
+
+def test_streaming_artifact_primed_alignment(tmp_path, rng):
+    """The consumer recipe (prime with the first n_fft-hop samples, ceil-pad
+    the hop count) reproduces StreamingEnhancer.run()'s time-aligned output
+    and covers the full signal. Regression for the round-3 advisor findings
+    (unprimed one-hop delay + floored hop count)."""
+    from jax import export as jexport
+    from cruse_tpu.infer.streaming import StreamingEnhancer
+
+    model, variables, _ = _tiny_forward()
+    scfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    enhancer = StreamingEnhancer(model, variables, scfg)
+    state = enhancer.init_state(1)
+    hop = jnp.zeros((1, 160), jnp.float32)
+    step_blob = jexport.export(jax.jit(enhancer._step_impl))(state, hop).serialize()
+    init_blob = jexport.export(jax.jit(lambda: enhancer.init_state(1)))().serialize()
+    path = str(tmp_path / "s.jaxexport")
+    artifact_lib.save_streaming(path, step_blob, init_blob,
+                                {"sr": 16000, "n_fft": 320, "hop_length": 160})
+    art = artifact_lib.load(path)
+
+    # a length that is NOT hop-aligned past the prime, so ceil matters:
+    # 4000 = 160 (prime) + 24*160, then chop 70 samples off the end
+    wav = (rng.standard_normal((1, 3930)) * 0.1).astype(np.float32)
+    prime_len, hop_len = 320 - 160, 160
+    n_hops = -(-(wav.shape[-1] - prime_len) // hop_len)
+    feed = np.zeros((1, prime_len + n_hops * hop_len), np.float32)
+    feed[..., : wav.shape[-1]] = wav
+    st = art.prime(art.init_state(), jnp.asarray(feed[..., :prime_len]))
+    outs = []
+    for h in range(n_hops):
+        lo = prime_len + h * hop_len
+        o, st = art.step(st, jnp.asarray(feed[..., lo : lo + hop_len]))
+        outs.append(np.asarray(o))
+    got = np.concatenate(outs, axis=-1)
+
+    ref = np.asarray(enhancer.run(jnp.asarray(feed)))  # primed, time-aligned
+    assert got.shape == ref.shape == (1, n_hops * hop_len)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # full coverage: the padded feed spans every input sample
+    assert prime_len + n_hops * hop_len >= wav.shape[-1]
+
+
 @pytest.mark.slow
 def test_export_then_run_exported_cli(tmp_path):
     """Full producer->consumer flow in subprocesses: train-free checkpoint ->

@@ -97,11 +97,12 @@ def main():
         from cruse_tpu.models.mtfaa import MtfaaNet as _MN
         from cruse_tpu.models.mc_cruse import McCruseNet as _MCN
         from cruse_tpu.models.fullsubnet import FullSubNet as _FSN
+        from cruse_tpu.models.bsrnn import BSRNN as _BN
 
-        assert isinstance(model, (_CN, _DN, _CDN, _MN, _MCN, _FSN)), (
+        assert isinstance(model, (_CN, _DN, _CDN, _MN, _MCN, _FSN, _BN)), (
             "--streaming supports CRUSE/DFSMN (magnitude mask), CRUSE+DF, "
-            "MTFAA with a finite attention_window, multi-mic McCruse, and "
-            "FullSubNet with cumulative norms"
+            "MTFAA with a finite attention_window, multi-mic McCruse, "
+            "FullSubNet with cumulative norms, and causal BSRNN"
         )
         is_mc = isinstance(model, _MCN)
         scfg = StftConfig(n_fft=int(ac["n_fft"]), hop_length=int(ac["hop_length"]), center=False)

@@ -86,21 +86,31 @@ def main():
     else:  # streaming
         hop_shape = art.hop_shape
         batch, hop = hop_shape[0], hop_shape[-1]
+        # priming the analysis buffer with the first n_fft-hop samples makes
+        # output sample j correspond to input sample j (same contract as
+        # tools/infer.py --streaming); without it the stream is delayed by
+        # n_fft-hop samples and the trimmed output loses its final hop
+        prime_len = int(meta["n_fft"]) - hop if "n_fft" in meta else 0
         for group in _groups(files, batch):
             wavs = [_read(f) for f in group]
-            n_hops = max(w.shape[-1] for w in wavs) // hop
-            assert n_hops > 0, f"all inputs shorter than one hop ({hop} samples)"
-            feed_shape = ((batch, num_mics, n_hops * hop) if num_mics
-                          else (batch, n_hops * hop))
+            max_len = max(w.shape[-1] for w in wavs)
+            # ceil so the zero-padded feed covers every input sample
+            n_hops = max(-(-(max_len - prime_len) // hop), 1)
+            feed_len = prime_len + n_hops * hop
+            feed_shape = ((batch, num_mics, feed_len) if num_mics
+                          else (batch, feed_len))
             x = np.zeros(feed_shape, np.float32)
             for i, w in enumerate(wavs):
-                n = min(w.shape[-1], n_hops * hop)
+                n = min(w.shape[-1], feed_len)
                 x[i, ..., :n] = w[..., :n]
             state = art.init_state()
+            if prime_len:
+                state = art.prime(state, jnp.asarray(x[..., :prime_len]))
             outs = []
             t0 = time.time()
             for h in range(n_hops):
-                o, state = art.step(state, jnp.asarray(x[..., h * hop : (h + 1) * hop]))
+                lo = prime_len + h * hop
+                o, state = art.step(state, jnp.asarray(x[..., lo : lo + hop]))
                 outs.append(np.asarray(o))
             dt = time.time() - t0
             out = np.concatenate(outs, axis=-1)  # [B, n_hops*hop]
