@@ -194,12 +194,18 @@ def pretrain_discriminator(
     batches,
     sr: int = 16000,
     replay: ReplayBuffer | None = None,
+    put=None,
 ):
     """D pretraining on metric-scored synthetic degradations: for each
     (noisy, clean) batch the *noisy mixture itself* is the degraded signal
     (its SNR spread spans the score range), so D learns the quality surface
-    before G produces anything. Returns (state, mean disc loss)."""
+    before G produces anything. Returns (state, mean disc loss).
+
+    `put` (optional) places host arrays onto the trainer's mesh (data-
+    sharded) so the jitted D step never mixes committed global arrays with
+    uncommitted host values."""
     _, disc_step, _ = steps
+    put = put if put is not None else (lambda x: x)
     losses = []
     for batch in batches:
         clean, noisy = batch["clean"], batch["noisy"]
@@ -208,7 +214,7 @@ def pretrain_discriminator(
         )
         if scores is None:
             continue
-        state, m = disc_step(state, clean, noisy, jnp.asarray(scores))
+        state, m = disc_step(state, put(clean), put(noisy), put(jnp.asarray(scores)))
         if replay is not None:
             replay.add(clean, noisy, scores)
         losses.append(float(m["disc_loss"]))
@@ -221,10 +227,15 @@ def metricgan_train_batch(
     steps,
     sr: int = 16000,
     replay: ReplayBuffer | None = None,
+    put=None,
 ):
     """One full alternation: enhance -> host quality scoring -> D step (fresh
-    batch + one historical replay batch) -> G step. Returns (state, metrics)."""
+    batch + one historical replay batch) -> G step. Returns (state, metrics).
+
+    On a mesh, `batch` arrives data-sharded (trainer._put_batch) and `put`
+    places the host-side values (scores, replay triples) the same way."""
     enhance, disc_step, gen_step = steps
+    put = put if put is not None else (lambda x: x)
     enhanced = enhance(state, batch["noisy"])
     scores = batch_quality_scores(
         list(np.asarray(batch["clean"])), list(np.asarray(enhanced)), sr=sr
@@ -232,12 +243,14 @@ def metricgan_train_batch(
     if scores is None:  # PESQ refused (silence) -- skip D this round
         metrics_d = {"disc_loss": jnp.nan}
     else:
-        state, metrics_d = disc_step(state, batch["clean"], enhanced, jnp.asarray(scores))
+        state, metrics_d = disc_step(
+            state, batch["clean"], enhanced, put(jnp.asarray(scores)))
         if replay is not None:
             past = replay.sample()
             if past is not None:
                 c, e, s = past
-                state, _ = disc_step(state, jnp.asarray(c), jnp.asarray(e), jnp.asarray(s))
+                state, _ = disc_step(
+                    state, put(jnp.asarray(c)), put(jnp.asarray(e)), put(jnp.asarray(s)))
             replay.add(batch["clean"], enhanced, scores)
     state, metrics_g = gen_step(state, batch)
     return state, {**metrics_d, **metrics_g}

@@ -216,7 +216,11 @@ class Trainer:
                 self._enhance = jax.jit(self._enhance_fn)
         self._adv = None
         if trainer_config.adversarial:
-            assert mesh is None, "adversarial training does not support a mesh yet"
+            if self._multiprocess:
+                raise NotImplementedError(
+                    "adversarial training shards over single-process meshes; "
+                    "multi-process MetricGAN would need a cross-host gather "
+                    "for the host-side PESQ scoring loop")
             self._init_adversarial(dict(trainer_config.adversarial), resume)
         # writer: None = auto-create TensorBoard, False = disabled, else used
         # (non-coordinator processes never write TB -- one event stream)
@@ -265,11 +269,22 @@ class Trainer:
         import optax
 
         disc_tx = optax.adam(mgcfg.disc_lr)
+        disc_params = dvars["params"]
+        disc_stats = dvars.get("batch_stats", {})
+        disc_opt = disc_tx.init(disc_params)
+        if self.mesh is not None:
+            # the discriminator is small: replicate its whole state; the
+            # batch stays data-sharded so D/G losses reduce over the mesh
+            # exactly like the standard step
+            rep = replicated(self.mesh)
+            disc_params = put_tree(disc_params, rep)
+            disc_stats = put_tree(disc_stats, rep)
+            disc_opt = put_tree(disc_opt, rep)
         self._adv = {
             "steps": steps,
-            "disc_params": dvars["params"],
-            "disc_stats": dvars.get("batch_stats", {}),
-            "disc_opt": disc_tx.init(dvars["params"]),
+            "disc_params": disc_params,
+            "disc_stats": disc_stats,
+            "disc_opt": disc_opt,
             "replay": ReplayBuffer(capacity=int(adv.get("replay_capacity", 32))),
             "pretrain_steps": int(adv.get("pretrain_steps", 0)),
             "pretrained": False,
@@ -283,6 +298,9 @@ class Trainer:
             cp = ocp.PyTreeCheckpointer()
             tmpl = {k: self._adv[k] for k in ("disc_params", "disc_stats", "disc_opt")}
             restored = cp.restore(disc_dir, item=jax.device_get(tmpl))
+            if self.mesh is not None:  # orbax restores host arrays
+                rep = replicated(self.mesh)
+                restored = {k: put_tree(v, rep) for k, v in restored.items()}
             self._adv.update(restored)
             self._adv["pretrained"] = True  # resumed D is past pretraining
             log("discriminator checkpoint restored.")
@@ -325,7 +343,7 @@ class Trainer:
         batches = self.train_batches() if callable(self.train_batches) else self.train_batches
         mg, loss = pretrain_discriminator(
             self._mg_state(), self._adv["steps"], itertools.islice(iter(batches), n),
-            sr=self.cfg.sr, replay=self._adv["replay"],
+            sr=self.cfg.sr, replay=self._adv["replay"], put=self._put_array,
         )
         self._mg_sync(mg)
         log(f"D pretraining ({n} metric-scored batches): mean loss {loss:.5f}")
@@ -355,6 +373,15 @@ class Trainer:
             ema_params=(put_tree(state.ema_params, p_sh)
                         if state.ema_params is not None else None),
         )
+
+    def _put_array(self, x):
+        """Place ONE host array the way _put_batch would (data-sharded when
+        the leading dim divides the mesh's data extent, else replicated).
+        Identity off-mesh. Used by the MetricGAN path for host-side values
+        (quality scores, replay triples)."""
+        if self.mesh is None:
+            return x
+        return self._put_batch({"x": x})["x"]
 
     def _put_batch(self, batch, replicate: bool = False):
         """Shard the batch over the mesh's "data" axis (replicating anything
@@ -436,6 +463,7 @@ class Trainer:
                 mg, metrics = metricgan_train_batch(
                     self._mg_state(), batch, self._adv["steps"],
                     sr=self.cfg.sr, replay=self._adv["replay"],
+                    put=self._put_array,
                 )
                 self._mg_sync(mg)
             else:
