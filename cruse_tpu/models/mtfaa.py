@@ -249,10 +249,16 @@ class TFCMBlock(nn.Module):
 
     channels: int
     dilation: int = 1
+    dw_impl: str = "xla"  # "xla" (9 shifted MACs) | "pallas" (fused
+    # fwd + one-pass dx+dwd bwd, ops/dw_kernel.py -- wins IN-GRAPH where
+    # XLA defuses the 9 per-tap weight-grad reductions, round-4 finding)
 
     @nn.compact
     def __call__(self, x: jax.Array, hist: jax.Array | None = None, train: bool = False):
         c = self.channels
+        if (self.dw_impl.startswith("fused") and train and hist is None
+                and not self.is_initializing()):
+            return self._fused_train(x)
         inp = x
         w1 = self.param("pconv1_kernel", nn.initializers.lecun_normal(), (x.shape[2], c))
         b1 = self.param("pconv1_bias", nn.initializers.zeros, (c,))
@@ -263,14 +269,22 @@ class TFCMBlock(nn.Module):
         x, new_hist = causal_ext(x, 2 * d, hist)  # (K_t-1)*dila on T
         wd = self.param("dw_kernel", nn.initializers.lecun_normal(), (3, 3, c))
         bd = self.param("dw_bias", nn.initializers.zeros, (c,))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))  # sym freq
         tlen = x.shape[-1] - 2 * d
         klen = inp.shape[1]
-        acc = None
-        for it in range(3):  # causal time taps at offsets -2d, -d, 0
-            for jf in range(3):  # symmetric freq taps
-                sl = xp[:, jf : jf + klen, :, it * d : it * d + tlen] * wd[it, jf][:, None]
-                acc = sl if acc is None else acc + sl
+        if self.dw_impl.startswith("pallas"):
+            from cruse_tpu.ops.dw_kernel import dw_causal_tm
+
+            # "pallas_interpret" runs the kernel in interpreter mode (CPU
+            # parity tests, mirroring asa_impl="flash_interpret")
+            acc = dw_causal_tm(x, wd, d,
+                               interpret=self.dw_impl.endswith("interpret"))
+        else:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))  # sym freq
+            acc = None
+            for it in range(3):  # causal time taps at offsets -2d, -d, 0
+                for jf in range(3):  # symmetric freq taps
+                    sl = xp[:, jf : jf + klen, :, it * d : it * d + tlen] * wd[it, jf][:, None]
+                    acc = sl if acc is None else acc + sl
         x = acc + _bias_tm(bd)
         x = BatchNormC(name="bn2")(x, train=train)
         x = PReLUc(name="prelu2")(x)
@@ -279,19 +293,100 @@ class TFCMBlock(nn.Module):
         x = jnp.einsum("bkct,co->bkot", x, w2) + _bias_tm(b2)
         return x + inp, new_hist
 
+    def _fused_train(self, x: jax.Array):
+        """Training path through ops/tfcm_train.py: identical math, hand-
+        scheduled 3-phase backward (the autodiff backward defuses ~9
+        per-channel reductions per block into separate HBM passes at full-
+        graph scale -- round-4 measurement, see ops/tfcm_train.py).
+        Parameter/stat names and shapes match the standard path exactly,
+        so checkpoints are interchangeable between impls."""
+        from cruse_tpu.ops.tfcm_train import tfcm_block_train
+
+        c = self.channels
+        w1 = self.param("pconv1_kernel", nn.initializers.lecun_normal(), (x.shape[2], c))
+        b1 = self.param("pconv1_bias", nn.initializers.zeros, (c,))
+        wd = self.param("dw_kernel", nn.initializers.lecun_normal(), (3, 3, c))
+        bd = self.param("dw_bias", nn.initializers.zeros, (c,))
+        w2 = self.param("pconv2_kernel", nn.initializers.lecun_normal(), (c, c))
+        b2 = self.param("pconv2_bias", nn.initializers.zeros, (c,))
+        bn1 = _BNVars(c, name="bn1")
+        bn2 = _BNVars(c, name="bn2")
+        g1, be1, rm1, rv1 = bn1()
+        g2, be2, rm2, rv2 = bn2()
+        # PReLU slopes under the same module names as PReLUc
+        a1 = _PReLUVar(name="prelu1")()
+        a2 = _PReLUVar(name="prelu2")()
+        params = (w1, b1, g1, be1, a1, wd, bd, g2, be2, a2, w2, b2)
+        # "fused" -> hand-ordered XLA backward; "fused_pallas[_interpret]"
+        # -> the reduction kernels (ops/tfcm_bwd_kernels.py)
+        impl = self.dw_impl[len("fused_"):] if len(self.dw_impl) > 5 else "xla"
+        y, new_hist, m1, v1, m2, v2 = tfcm_block_train(
+            x, params, self.dilation, 1e-5, impl)
+        # training discards streaming state: its cotangent is structurally
+        # zero, which the kernel backward relies on
+        new_hist = jax.lax.stop_gradient(new_hist)
+        # running-stat EMA exactly as BatchNormC (momentum 0.9); stats are
+        # stop-gradient'd -- the custom backward ignores their cotangents
+        mom = 0.9
+        for var, val in ((rm1, m1), (rv1, v1), (rm2, m2), (rv2, v2)):
+            var.value = mom * var.value + (1 - mom) * jax.lax.stop_gradient(val)
+        return y, new_hist
+
+
+class _BNVars(nn.Module):
+    """Parameter/stat holder matching BatchNormC's variable layout, for
+    the fused TFCM training path (same names -> same checkpoint tree)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _PReLUVar(nn.Module):
+    """Slope holder matching PReLUc's parameter name."""
+
+    init: float = 0.01
+
+    @nn.compact
+    def __call__(self):
+        return self.param("negative_slope", nn.initializers.constant(self.init), ())
+
 
 class TFCM(nn.Module):
-    """Stack with dilations 2^idx (mtfaa.py:196-207, `super` bug repaired)."""
+    """Stack with dilations 2^idx (mtfaa.py:196-207, `super` bug repaired).
+
+    ``remat=True`` wraps each block in jax.checkpoint. This is a SPEED
+    knob, not (only) a memory one: in the full training graph XLA stops
+    fusing the ~12 per-block parameter-gradient reductions (each becomes
+    its own HBM pass -- measured round 4: the windowed MTFAA step's
+    backward is 60.6 ms for a 12.8 ms forward, with >20 ms attributable
+    to unfused param-grad reductions, scripts/profile_step_anatomy.py /
+    profile_tfcm_chain.py). Checkpointing each block makes its backward a
+    compact local cluster that XLA fuses like the isolated block.
+    """
 
     channels: int
     num_layers: int = 6
+    remat: bool = False
+    dw_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, state=None, train: bool = False):
         new_state = []
+        block_cls = TFCMBlock
+        if self.remat:
+            block_cls = nn.remat(TFCMBlock, static_argnums=(3,))
         for idx in range(self.num_layers):
             hist = state[idx] if state is not None else None
-            x, h = TFCMBlock(self.channels, 2**idx, name=f"block_{idx}")(x, hist, train=train)
+            x, h = block_cls(self.channels, 2**idx, self.dw_impl,
+                             name=f"block_{idx}")(x, hist, train)
             new_state.append(h)
         return x, tuple(new_state)
 
@@ -533,6 +628,11 @@ class MtfaaConfig:
     channels: Tuple[int, ...] = (24, 32, 48)
     band_strides: Tuple[int, ...] = (2, 2, 2)
     tfcm_layers: int = 4
+    tfcm_remat: bool = False  # checkpoint each TFCM block (measured
+    # NEGATIVE on v5e: recompute does not restore fusion; kept as a
+    # memory knob)
+    tfcm_dw_impl: str = "xla"  # "pallas": fused depthwise stencil with
+    # one-pass dx+dwd backward (ops/dw_kernel.py)
     attention_window: Optional[int] = None  # None = full causal (no streaming)
     asa_impl: str = "auto"  # "auto" resolves to the einsum path (the flash
     # Pallas kernel measured SLOWER, ops/asa_kernel.py; opt in with "flash")
@@ -594,7 +694,7 @@ class MtfaaNet(nn.Module):
             )(x, st.get(f"enc_conv_{si}"))
             x = BatchNormC(name=f"enc_bn_{si}")(x, train=train)
             x = PReLUc(name=f"enc_prelu_{si}")(x)
-            x, new_state[f"enc_tfcm_{si}"] = TFCM(ch, cfg.tfcm_layers, name=f"enc_tfcm_{si}")(
+            x, new_state[f"enc_tfcm_{si}"] = TFCM(ch, cfg.tfcm_layers, cfg.tfcm_remat, cfg.tfcm_dw_impl, name=f"enc_tfcm_{si}")(
                 x, st.get(f"enc_tfcm_{si}"), train=train
             )
             x, new_state[f"enc_asa_{si}"] = AxialSelfAttention(
@@ -611,7 +711,7 @@ class MtfaaNet(nn.Module):
             )
             x = BatchNormC(name=f"dec_bn_{si}")(x, train=train)
             x = PReLUc(name=f"dec_prelu_{si}")(x)
-            x, new_state[f"dec_tfcm_{si}"] = TFCM(ch_out, cfg.tfcm_layers, name=f"dec_tfcm_{si}")(
+            x, new_state[f"dec_tfcm_{si}"] = TFCM(ch_out, cfg.tfcm_layers, cfg.tfcm_remat, cfg.tfcm_dw_impl, name=f"dec_tfcm_{si}")(
                 x, st.get(f"dec_tfcm_{si}"), train=train
             )
 

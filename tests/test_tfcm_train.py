@@ -1,0 +1,142 @@
+"""Parity tests for the hand-scheduled TFCM training pass (round 4).
+
+ops/tfcm_train.py replaces autodiff through a TFCM block with a custom
+3-phase backward (XLA-ordered or Pallas-kernel-backed) because XLA
+defuses the block's ~9 per-channel parameter-gradient reductions at
+full-graph scale (measured: 60.6 ms backward for a 12.8 ms forward on the
+windowed MTFAA train step, scripts/profile_step_anatomy.py).
+
+Checked here, on CPU (Pallas kernels in interpret mode):
+  - forward is BIT-exact vs the production einsum path (same math);
+  - gradients match autodiff to fp tolerance for every parameter
+    (biases feeding a BatchNorm are exempt from the relative check:
+    their true gradient is exactly zero, both sides produce rounding
+    noise);
+  - the kernel backward (tfcm_bwd_kernels) matches the hand-XLA backward
+    essentially exactly (same reduction order, fp32 accumulation);
+  - batch-stat EMA updates match;
+  - the full MtfaaNet trains identically under tfcm_dw_impl variants.
+
+Reference lineage: /root/reference/model/mtfaa.py:166-207 (TFCM).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cruse_tpu.models.mtfaa import MtfaaConfig, MtfaaNet, TFCMBlock
+
+
+def _init_block(c, d, impl, x):
+    blk = TFCMBlock(c, d, impl)
+    v = TFCMBlock(c, d, "xla").init(jax.random.PRNGKey(0), x, train=True)
+    return blk, v
+
+
+def _apply(blk, v, x):
+    (y, h), upd = blk.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        x, None, True, mutable=["batch_stats"])
+    return y, h, upd
+
+
+def _grads(blk, v, x):
+    def loss(p, xx):
+        (y, _h), _ = blk.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            xx, None, True, mutable=["batch_stats"])
+        # state outputs are discarded in training; the fused path
+        # stop-gradients them by contract
+        return jnp.sum(y ** 2)
+
+    return jax.grad(loss, argnums=(0, 1))(v["params"], x)
+
+
+@pytest.mark.parametrize("shape,d", [((2, 8, 12, 50), 1), ((2, 6, 4, 40), 4),
+                                     ((1, 4, 16, 131), 2)])
+def test_fused_block_matches_xla(shape, d):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32) * 0.5
+    c = shape[2]
+    blk_x, v = _init_block(c, d, "xla", x)
+    blk_f = TFCMBlock(c, d, "fused")
+
+    y1, h1, u1 = _apply(blk_x, v, x)
+    y2, h2, u2 = _apply(blk_f, v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    for mod in ("bn1", "bn2"):
+        for st in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(u1["batch_stats"][mod][st]),
+                np.asarray(u2["batch_stats"][mod][st]), atol=1e-5)
+
+    gp1, gx1 = _grads(blk_x, v, x)
+    gp2, gx2 = _grads(blk_f, v, x)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-4)
+    f1 = {jax.tree_util.keystr(k): l
+          for k, l in jax.tree_util.tree_leaves_with_path(gp1)}
+    f2 = {jax.tree_util.keystr(k): l
+          for k, l in jax.tree_util.tree_leaves_with_path(gp2)}
+    gscale = max(float(jnp.abs(l).max()) for l in f1.values())
+    for k in f1:
+        e = float(jnp.abs(f1[k] - f2[k]).max())
+        rel = e / (float(jnp.abs(f1[k]).max()) + 1e-6)
+        if "dw_bias" in k or "pconv1_bias" in k:
+            # true gradient is exactly zero (bias feeds a BatchNorm);
+            # both sides are rounding noise
+            assert e < 1e-3 * gscale + 5e-3, (k, e)
+        else:
+            assert rel < 2e-3 or e < 1e-3 * gscale + 1e-4, (k, e, rel)
+
+
+@pytest.mark.parametrize("shape,d", [((2, 8, 12, 50), 1), ((2, 6, 4, 40), 4),
+                                     ((1, 4, 16, 131), 2)])
+def test_pallas_kernels_match_hand_xla(shape, d):
+    """The Pallas reduction kernels (interpret mode on CPU) vs the
+    hand-ordered XLA backward: same decomposition, near-identical fp."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32) * 0.5
+    c = shape[2]
+    blk_a, v = _init_block(c, d, "fused", x)
+    blk_b = TFCMBlock(c, d, "fused_pallas_interpret")
+    gp_a, gx_a = _grads(blk_a, v, x)
+    gp_b, gx_b = _grads(blk_b, v, x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), atol=1e-4)
+    fa = {jax.tree_util.keystr(k): l
+          for k, l in jax.tree_util.tree_leaves_with_path(gp_a)}
+    fb = {jax.tree_util.keystr(k): l
+          for k, l in jax.tree_util.tree_leaves_with_path(gp_b)}
+    for k in fa:
+        e = float(jnp.abs(fa[k] - fb[k]).max())
+        rel = e / (float(jnp.abs(fa[k]).max()) + 1e-6)
+        assert rel < 1e-3 or e < 1e-3, (k, e, rel)
+
+
+@pytest.mark.slow
+def test_mtfaa_net_trains_same_under_impls():
+    """Whole-net gradient parity across tfcm_dw_impl settings."""
+    rng = np.random.default_rng(2)
+    cspec = jnp.asarray(rng.standard_normal((2, 24, 257, 2)), jnp.float32) * 0.1
+    grads = {}
+    for impl in ("xla", "fused", "fused_pallas_interpret"):
+        cfg = MtfaaConfig(attention_window=8, tfcm_dw_impl=impl, n_bands=32,
+                          channels=(8, 8, 8), tfcm_layers=2)
+        m = MtfaaNet(cfg)
+        v = m.init(jax.random.PRNGKey(0), cspec, train=True)
+
+        def loss(p):
+            out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                             cspec, train=True, mutable=["batch_stats"])
+            (enh, _mask), _st = out
+            return jnp.sum(jnp.abs(enh) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        grads[impl] = jnp.concatenate(
+            [l.ravel().astype(jnp.float32)
+             for l in jax.tree_util.tree_leaves(g)])
+    ref = grads["xla"]
+    scale = float(jnp.abs(ref).max())
+    for impl in ("fused", "fused_pallas_interpret"):
+        e = float(jnp.abs(grads[impl] - ref).max())
+        assert e < 3e-3 * scale + 1e-3, (impl, e, scale)
