@@ -193,10 +193,61 @@ class PhaseEncoder(nn.Module):
 # ---------------- normalization (T-minor BatchNorm) ----------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_c(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
+    """Train-mode batch norm over axis 2 of [B, K, C, T] with a
+    dtype-clean hand-written backward.
+
+    Why custom: autodiff through the fp32 stats path materializes THREE
+    f32 copies of the activation per BatchNorm in the backward (observed
+    in the round-4 profiler trace as 1.03 ms broadcast_multiply fusions of
+    f32[16,64,24,626] x8); the step is bandwidth-bound, so those doubled
+    bytes are pure loss. This backward keeps big tensors in the compute
+    dtype and accumulates only the per-channel reductions in fp32
+    (gradient parity: tests/test_tfcm_train.py::test_bn_train_c_grads).
+
+    Returns (out, mean, var); mean/var feed the running-stat EMA only and
+    must be stop-gradient'd by the caller (their cotangents are ignored).
+    """
+    out, _ = _bn_train_c_fwd(x, scale, bias, eps)
+    return out
+
+
+def _bn_train_c_fwd(x, scale, bias, eps):
+    # stats accumulate in fp32 even under bf16 model compute (a bf16 sum
+    # over ~1e6 elements has ~8 mantissa bits -- unusable)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 3))
+    var = jnp.mean(jnp.square(xf), axis=(0, 1, 3)) - jnp.square(mean)
+    inv = (jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(x.dtype)
+    out = (x - mean.astype(x.dtype)[:, None]) * inv[:, None] + bias.astype(x.dtype)[:, None]
+    return (out, mean, var), (x, mean, var, scale, bias)
+
+
+def _bn_train_c_bwd(eps, res, cots):
+    x, mean, var, scale, bias = res
+    dy, _dm, _dv = cots  # stat cotangents are zero by caller contract
+    dt = x.dtype
+    n = x.shape[0] * x.shape[1] * x.shape[3]
+    invr = jax.lax.rsqrt(var + eps)  # [C] fp32
+    xh = ((x - mean.astype(dt)[:, None]) * invr.astype(dt)[:, None])
+    dg = jnp.sum((dy * xh).astype(jnp.float32), axis=(0, 1, 3))
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 3))
+    s = (invr * scale.astype(jnp.float32)).astype(dt)
+    dx = s[:, None] * (
+        dy - (db / n).astype(dt)[:, None] - xh * (dg / n).astype(dt)[:, None]
+    )
+    return dx, dg.astype(scale.dtype), db.astype(bias.dtype)
+
+
+_bn_train_c.defvjp(lambda x, s, b, e: _bn_train_c_fwd(x, s, b, e), _bn_train_c_bwd)
+
+
 class BatchNormC(nn.Module):
     """BatchNorm over the channel axis of [B, K, C, T] (stats reduce over
     B, K, T) with flax-equivalent running-average updates. Hand-rolled so
-    the surrounding shift-MAC ops never force a channels-minor relayout."""
+    the surrounding shift-MAC ops never force a channels-minor relayout.
+    Train mode routes through _bn_train_c (dtype-clean custom backward)."""
 
     momentum: float = 0.9
     eps: float = 1e-5
@@ -211,18 +262,16 @@ class BatchNormC(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         if train:
-            # stats accumulate in fp32 even under bf16 model compute (a bf16
-            # sum over ~1e6 elements has ~8 mantissa bits -- unusable)
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 3))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 3)) - jnp.square(mean)
+            out, mean, var = _bn_train_c(x, scale, bias, self.eps)
             if not self.is_initializing():
                 m = self.momentum
+                mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
-        else:
-            mean = ra_mean.value
-            var = ra_var.value
+            return out
+        mean = ra_mean.value
+        var = ra_var.value
         inv = (jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)).astype(x.dtype)
         return (x - mean.astype(x.dtype)[:, None]) * inv[:, None] + bias[:, None]
 
@@ -391,6 +440,19 @@ class TFCM(nn.Module):
         return x, tuple(new_state)
 
 
+def _attn_softmax(logits: jax.Array, axis: int) -> jax.Array:
+    """Softmax with fp32 internals but logits/probs materialized in the
+    compute dtype. Round-4 finding: the previous `logits / jnp.sqrt(c)`
+    and `jnp.where(mask, logits, -1e9)` promoted every attention tensor
+    to f32 via Python-scalar promotion, doubling the bytes of the ASA's
+    dominant [.., w, 2w] tensors (the step is bandwidth-bound)."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=axis).astype(logits.dtype)
+
+
+def _neg_inf(dtype) -> jax.Array:
+    return jnp.asarray(-1e9, dtype)
+
+
 # ---------------- ASA (built new; absent in the reference) ----------------
 
 
@@ -435,8 +497,9 @@ class AxialSelfAttention(nn.Module):
         qf = proj(x, "q_f", c_att)
         kf = proj(x, "k_f", c_att)
         vf = proj(x, "v_f", self.channels)
-        logits = jnp.einsum("bkct,bqct->bkqt", qf, kf) / jnp.sqrt(c_att)
-        attn = jax.nn.softmax(logits, axis=2)
+        inv_scale = jnp.asarray(1.0 / np.sqrt(c_att), x.dtype)
+        logits = jnp.einsum("bkct,bqct->bkqt", qf, kf) * inv_scale
+        attn = _attn_softmax(logits, axis=2)
         x = x + jnp.einsum("bkqt,bqct->bkct", attn, vf)
 
         # --- temporal attention ---
@@ -485,7 +548,7 @@ class AxialSelfAttention(nn.Module):
                 vprev = jnp.pad(vb, ((0, 0), (0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :, :nb]
                 k2 = jnp.concatenate([kprev, kb], axis=4)  # [B,F,c,nb,2w]
                 v2 = jnp.concatenate([vprev, vb], axis=4)
-                logits = jnp.einsum("bfcnw,bfcns->bfnws", qb, k2) / jnp.sqrt(c_att)
+                logits = jnp.einsum("bfcnw,bfcns->bfnws", qb, k2) * inv_scale
                 # query slot wi (global n*w+wi) sees key slot si (global
                 # n*w - w + si) iff 0 <= q-k < w  <=>  wi < si <= wi + w;
                 # block 0's "previous block" is padding: also require si >= w
@@ -496,8 +559,8 @@ class AxialSelfAttention(nn.Module):
                 mask = jnp.where(
                     jnp.arange(nb)[:, None, None] == 0, band & first, band
                 )  # [nb, w, 2w]
-                logits = jnp.where(mask[None, None], logits, -1e9)
-                attn = jax.nn.softmax(logits, axis=-1)
+                logits = jnp.where(mask[None, None], logits, _neg_inf(logits.dtype))
+                attn = _attn_softmax(logits, axis=-1)
                 xt = jnp.einsum("bfnws,bfcns->bfcnw", attn, v2)
                 xt = xt.reshape(b, f, self.channels, nb * w)[..., :t]
                 # emit a valid rolling cache so a follow-up chunk can carry
@@ -509,12 +572,12 @@ class AxialSelfAttention(nn.Module):
                 count = jnp.full((b,), min(t, wfull - 1), jnp.int32)
                 return x + xt, (k_cache, v_cache, count)
             # full causal attention (training / offline, no window)
-            logits = jnp.einsum("bfct,bfcs->bfts", qt, kt) / jnp.sqrt(c_att)
+            logits = jnp.einsum("bfct,bfcs->bfts", qt, kt) * inv_scale
             if self.causal:
                 ti = jnp.arange(t)
                 mask = ti[:, None] >= ti[None, :]
-                logits = jnp.where(mask[None, None], logits, -1e9)
-            attn = jax.nn.softmax(logits, axis=-1)
+                logits = jnp.where(mask[None, None], logits, _neg_inf(logits.dtype))
+            attn = _attn_softmax(logits, axis=-1)
             xt = jnp.einsum("bfts,bfcs->bfct", attn, vt)
             return x + xt, None
 
@@ -525,7 +588,7 @@ class AxialSelfAttention(nn.Module):
         keys = jnp.concatenate([k_cache, kt], axis=-1)  # [B,F,c_att,w-1+T]
         vals = jnp.concatenate([v_cache, vt], axis=-1)
         s_len = keys.shape[-1]
-        logits = jnp.einsum("bfct,bfcs->bfts", qt, keys) / jnp.sqrt(c_att)
+        logits = jnp.einsum("bfct,bfcs->bfts", qt, keys) * inv_scale
         qi = jnp.arange(t)
         si = jnp.arange(s_len)
         # query i (global pos count+i) sees cache slots filled so far plus
@@ -539,8 +602,8 @@ class AxialSelfAttention(nn.Module):
             (w - 1) - count, 0
         )[:, None, None]
         mask = band[None] & valid  # [B, t, s]
-        logits = jnp.where(mask[:, None], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.where(mask[:, None], logits, _neg_inf(logits.dtype))
+        attn = _attn_softmax(logits, axis=-1)
         xt = jnp.einsum("bfts,bfcs->bfct", attn, vals)
         new_state = (keys[..., -(w - 1) :], vals[..., -(w - 1) :], jnp.minimum(count + t, w - 1))
         return x + xt, new_state
@@ -578,6 +641,25 @@ class BandDownConv(nn.Module):
         x, new_hist = causal_ext(x, 1, hist)
         xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
         t_out = x.shape[-1] - 1
+        if s == 2 and k_in % 2 == 0:
+            # Stride-2 fast path: even/odd freq reshape -> six UNIT-stride
+            # tap views -> one [6*c_in, c_out] MXU contraction. The naive
+            # strided slice below differentiates into a serial while-loop
+            # gather (round-4 trace: 18.6 ms/step in ~2300 tiny launches at
+            # bench shapes); unit-stride views differentiate to plain
+            # pad-add fusions. Concatenating the taps on C also widens the
+            # contraction 6x (c_in is 4 at stage 0 -- far under the MXU's
+            # 128-lane contraction width, so the separate per-tap matmuls
+            # were latency-bound).
+            bsz = x.shape[0]
+            r = xp.reshape(bsz, (k_in + 2) // 2, 2, c_in, x.shape[-1])
+            fr = (r[:, :k_out, 0], r[:, :k_out, 1], r[:, 1 : k_out + 1, 0])
+            taps = [v[..., dt : dt + t_out] for v in fr for dt in range(2)]
+            xcat = jnp.concatenate(taps, axis=2)  # [B, k_out, 6*c_in, T]
+            wf = jnp.concatenate(
+                [w[dt, dk] for dk in range(3) for dt in range(2)], axis=0
+            )
+            return jnp.einsum("bkct,co->bkot", xcat, wf) + _bias_tm(b), new_hist
         acc = None
         for dt in range(2):
             for dk in range(3):
