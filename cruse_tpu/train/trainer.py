@@ -153,12 +153,13 @@ class Trainer:
         self.mesh = mesh
         self._multiprocess = mesh is not None and mesh_spans_processes(mesh)
         self._is_coordinator = jax.process_index() == 0
-        if self._multiprocess and mesh.shape["model"] > 1:
-            raise NotImplementedError(
-                "multi-process meshes currently support data parallelism only "
-                "(model-axis sharding across hosts would make checkpoints "
-                "non-addressable); use -M 1 across hosts"
-            )
+        # model-axis sharding across hosts: params live as non-addressable
+        # global arrays. Checkpointing gathers them to replicated first
+        # (_host_state, an all-process collective), so saves stay
+        # coordinator-written host numpy like the data-parallel path.
+        self._tp_multiprocess = (
+            self._multiprocess and mesh.shape.get("model", 1) > 1
+        )
 
         self.save_dir = Path(trainer_config.save_dir).expanduser().absolute() / trainer_config.experiment_name
         self.checkpoints_dir = self.save_dir / "checkpoints"
@@ -214,6 +215,13 @@ class Trainer:
                     donate_argnums=0,
                 )
                 self._enhance = jax.jit(self._enhance_fn)
+        if self._tp_multiprocess:
+            # validation must read the enhanced audio on every process; with
+            # model-sharded params GSPMD may emit a partitioned output, so
+            # pin it replicated (the process-cached jit can't: out_shardings
+            # is mesh-specific)
+            self._enhance = jax.jit(self._enhance_fn,
+                                    out_shardings=replicated(self.mesh))
         self._adv = None
         if trainer_config.adversarial:
             if self._multiprocess:
@@ -597,14 +605,33 @@ class Trainer:
         except Exception as e:  # visualization must never kill training
             log(f"spectrogram figure failed: {e}")
 
+    def _host_state(self, state: Optional[TrainState] = None) -> TrainState:
+        """Materialize a train state on the host. With model-axis sharding
+        across processes the param/optimizer leaves are non-addressable
+        global arrays, so this first reshards the whole state to replicated
+        via a jitted identity -- an all-gather over ICI that EVERY process
+        must execute (collective). Data-parallel / single-process states
+        skip straight to device_get."""
+        state = state if state is not None else self.state
+        if self._tp_multiprocess:
+            leaves = jax.tree_util.tree_leaves(state)
+            if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+                   for l in leaves):
+                rep = replicated(self.mesh)
+                state = jax.jit(lambda s: s, out_shardings=rep)(state)
+        return jax.device_get(state)
+
     def _save(self, epoch: int, best: bool = False, state: Optional[TrainState] = None) -> None:
-        """Checkpoint write, coordinator-only on multi-process meshes (every
-        process holds identical replicated state; one writer avoids
-        same-path races). `state` overrides self.state -- the async
-        validation pipeline saves the snapshot that was actually scored."""
+        """Checkpoint write, coordinator-only on multi-process meshes (one
+        writer avoids same-path races). `state` overrides self.state -- the
+        async validation pipeline saves the snapshot that was actually
+        scored. NOTE: with model-axis sharding across hosts the
+        materialization is a collective, so every process must call _save
+        at the same point (the epoch loop guarantees this; preemption
+        signals must be delivered job-wide, which schedulers do)."""
+        tree = self._host_state(state)
         if self._is_coordinator:
-            save_checkpoint(self.checkpoints_dir,
-                            state if state is not None else self.state,
+            save_checkpoint(self.checkpoints_dir, tree,
                             epoch, self.best_score, best)
 
     def _is_best_epoch(self, score: float) -> bool:
@@ -717,7 +744,7 @@ class Trainer:
                     # epoch is an unbounded-RAM pattern.
                     keep = self.cfg.visualization_examples
                     vis_small = tuple(x[:keep] for x in vis)
-                    self._pending_val = (epoch, jax.device_get(self.state), future, vis_small)
+                    self._pending_val = (epoch, self._host_state(), future, vis_small)
 
                 log(f"[{timer.duration()} seconds] Epoch {epoch} finished.")
                 if preempted["flag"]:

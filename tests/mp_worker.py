@@ -25,10 +25,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def run_trainer(mesh, save_dir: str, process_id: int) -> None:
-    """Drive the FULL Trainer over the multi-process mesh: 1 epoch of 2
-    deterministic steps, replicated validation scoring, coordinator-only
-    checkpoint write. Prints the composite validation score."""
+def run_trainer(mesh, save_dir: str, process_id: int,
+                expect_multiprocess: bool = True) -> float:
+    """Drive the FULL Trainer over the mesh: 1 epoch of 2 deterministic
+    steps, replicated validation scoring, coordinator-only checkpoint
+    write. Prints the composite validation score and returns it.
+    `expect_multiprocess=False` lets tests reuse this exact setup as the
+    single-process numerical reference (same seeds/batches/config)."""
     import jax.numpy as jnp
 
     from cruse_tpu.dsp.stft import StftConfig, stft
@@ -66,11 +69,15 @@ def run_trainer(mesh, save_dir: str, process_id: int) -> None:
         train_batches=batches, validation_batches=lambda: iter(vbatches),
         example_feat=feat, writer=False, mesh=mesh,
     )
-    assert trainer._multiprocess, "mesh should span processes"
+    if expect_multiprocess:
+        assert trainer._multiprocess, "mesh should span processes"
     trainer.train()
     ckpts = sorted(p.name for p in (trainer.checkpoints_dir).iterdir())
     print(f"MP_TRAINER {process_id} {trainer.best_score:.6f} "
           f"ckpts={','.join(ckpts) if ckpts else 'NONE'}", flush=True)
+    first_score = trainer.best_score
+    if not expect_multiprocess:
+        return first_score
 
     # resume phase: EVERY process restores from the coordinator's dir (the
     # shared-filesystem contract of real multi-host runs) and trains one
@@ -88,6 +95,7 @@ def run_trainer(mesh, save_dir: str, process_id: int) -> None:
     assert trainer2.start_epoch == 2, trainer2.start_epoch
     trainer2.train()
     print(f"MP_RESUME {process_id} {trainer2.best_score:.6f}", flush=True)
+    return first_score
 
 
 def main(coordinator: str, num_processes: int, process_id: int,
@@ -108,9 +116,13 @@ def main(coordinator: str, num_processes: int, process_id: int,
     from cruse_tpu.parallel.mesh import make_mesh, data_sharding
     from cruse_tpu.train.step import StepConfig, init_train_state, make_train_step
 
-    mesh = make_mesh(n_data=n_global, n_model=1)
+    n_model = 2 if mode == "trainer_tp" else 1
+    mesh = make_mesh(n_data=n_global // n_model, n_model=n_model)
 
-    if mode == "trainer":
+    if mode in ("trainer", "trainer_tp"):
+        # trainer_tp: model-axis sharding ACROSS processes -- grouped-GRU
+        # weights live as non-addressable global arrays; checkpoint saves
+        # go through the Trainer's all-gather-to-replicated collective
         run_trainer(mesh, os.environ.get("MP_SAVE_DIR", "/tmp/mp_trainer"),
                     process_id)
         return

@@ -80,6 +80,30 @@ def test_pmos_behavior(rng):
     assert pmos(x, np.clip(x, -0.05, 0.05)) < 3.0
 
 
+@pytest.mark.slow
+def test_pmos_tracks_native_wb_pesq():
+    """Calibration regression (round-4 VERDICT item 5): over a reduced
+    version of the validate_pesq degradation sweep, PMOS must rank
+    conditions like the native WB-PESQ pipeline (Spearman > 0.9). The full
+    published table lives in STATUS (tools/validate_pesq.py --pmos)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tools"))
+    from validate_pesq import speechlike, degrade, spearman
+
+    from cruse_tpu.metrics.pmos import pmos
+    from cruse_tpu.metrics.pesq_native import wb_pesq_native
+
+    r = np.random.default_rng(2026)
+    ref = speechlike(r, seconds=2.0)
+    conds = [("identity", ref.copy())] + list(degrade(ref, np.random.default_rng(7)))
+    conds = conds[::2]  # every other condition: keeps the axes, halves cost
+    p = np.array([pmos(ref, d, sr=16000) for _, d in conds])
+    wb = np.array([wb_pesq_native(ref, d, sr=16000) for _, d in conds])
+    assert spearman(p, wb) > 0.9, (list(zip([n for n, _ in conds], p, wb)))
+
+
 def test_native_wb_pesq_behavior(rng):
     """Native P.862 pipeline (metrics/pesq_native.py): identity at ceiling,
     level/delay invariance (alignment stages), monotone in SNR near the

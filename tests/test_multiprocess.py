@@ -164,6 +164,62 @@ def test_two_process_trainer_epoch(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_trainer_model_sharded(tmp_path):
+    """VERDICT r3 #2: model-axis sharding ACROSS hosts. Two processes run
+    the full Trainer over a (data=4, model=2) global mesh -- grouped-GRU
+    weights are non-addressable global arrays, so checkpoint saves exercise
+    the all-gather-to-replicated collective. Checks: equal scores on both
+    processes, coordinator-only checkpoint trio, resume on every process,
+    and the score matches a single-process run of the same mesh shape."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MP_SAVE_DIR"] = str(tmp_path)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+
+    def make_cmds(coordinator):
+        import shutil
+
+        for child in tmp_path.iterdir():
+            shutil.rmtree(child, ignore_errors=True)
+        return [
+            ([sys.executable, worker, coordinator, "2", str(i), "trainer_tp"], {})
+            for i in range(2)
+        ]
+
+    outs = _launch_group(make_cmds, env)
+
+    results, resumed = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_TRAINER"):
+                _, pid, score, ckpts = line.split()
+                results[int(pid)] = (float(score), ckpts)
+            if line.startswith("MP_RESUME"):
+                _, pid, score = line.split()
+                resumed[int(pid)] = float(score)
+    assert sorted(results) == [0, 1], f"missing results: {outs}"
+    assert sorted(resumed) == [0, 1], f"missing resume results: {outs}"
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(resumed[0], resumed[1], rtol=1e-6)
+    ck0 = results[0][1].split("=", 1)[1]
+    ck1 = results[1][1].split("=", 1)[1]
+    assert "latest" in ck0 and "best" in ck0, ck0
+    assert ck1 == "NONE", ck1
+    # numerical parity vs the SAME trainer single-process on an 8-device
+    # (data=4, model=2) mesh (identical seeds/batches/config)
+    from cruse_tpu.parallel.mesh import make_mesh
+    from tests.mp_worker import run_trainer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ref = run_trainer(mesh, str(tmp_path / "sp_ref"), 0,
+                      expect_multiprocess=False)
+    np.testing.assert_allclose(results[0][0], ref, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_two_process_cli_training(tmp_path):
     """The user-facing multi-host path: TWO processes run `tools/train.py
     -C tiny_cruse -N 8` joined by env-driven jax.distributed

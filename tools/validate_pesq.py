@@ -96,11 +96,59 @@ def spearman(a, b):
     return float(np.dot(ra, rb) / np.sqrt(np.dot(ra, ra) * np.dot(rb, rb) + 1e-12))
 
 
+def pmos_table(seconds: float) -> None:
+    """PMOS calibration table (round-4 VERDICT item 5): score the SAME
+    degradation sweep with PMOS, the native WB/NB PESQ pipelines, and
+    native STOI, and print rank/linear correlations. PMOS drives no model
+    selection (the validator scores WB_PESQ directly), but its weight in
+    quick-look workflows should rest on published evidence, not vibes."""
+    from cruse_tpu.metrics.pmos import pmos
+    from cruse_tpu.metrics.pesq_native import nb_pesq_native, wb_pesq_native
+    from cruse_tpu.metrics.stoi import stoi
+
+    rng = np.random.default_rng(2026)
+    ref = speechlike(rng, seconds)
+    conds = [("identity", ref.copy())] + list(degrade(ref, np.random.default_rng(7)))
+    names, p_list, wb_list, nb_list, st_list = [], [], [], [], []
+    print("== PMOS calibration vs native WB/NB PESQ + STOI ==")
+    print(f"  {'condition':14s} {'PMOS':>6s} {'WB':>6s} {'NB':>6s} {'STOI':>6s}")
+    for name, deg in conds:
+        s_p = pmos(ref, deg, sr=SR)
+        s_wb = wb_pesq_native(ref, deg, sr=SR)
+        s_nb = nb_pesq_native(ref, deg, sr=SR)
+        s_st = stoi(ref, deg, sr=SR)
+        names.append(name)
+        p_list.append(s_p); wb_list.append(s_wb)
+        nb_list.append(s_nb); st_list.append(s_st)
+        print(f"  {name:14s} {s_p:6.3f} {s_wb:6.3f} {s_nb:6.3f} {s_st:6.3f}",
+              flush=True)
+    p = np.array(p_list)
+    for label, other in (("WB_PESQ", np.array(wb_list)),
+                         ("NB_PESQ", np.array(nb_list)),
+                         ("STOI", np.array(st_list))):
+        rho = spearman(p, other)
+        pc = float(np.corrcoef(p, other)[0, 1])
+        print(f"  -> PMOS vs {label:8s}: Spearman {rho:.3f}, Pearson {pc:.3f}")
+    # per-axis monotonicity: within each SNR ladder PMOS must order
+    # conditions like WB_PESQ does (the quick-look use case)
+    for color in ("white", "pink", "babble"):
+        idx = [i for i, n in enumerate(names) if n.startswith(color)]
+        sub_p, sub_wb = p[idx], np.array(wb_list)[idx]
+        rho = spearman(sub_p, sub_wb)
+        print(f"  -> {color} SNR ladder: PMOS-vs-WB Spearman {rho:.3f}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--mode", choices=("wb", "nb", "both"), default="both")
     ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--pmos", action="store_true",
+                    help="print the PMOS-vs-native-PESQ/STOI calibration "
+                         "table instead of the ITU validation sweep")
     args = ap.parse_args()
+    if args.pmos:
+        pmos_table(args.seconds)
+        return
 
     from cruse_tpu.metrics.pesq_native import nb_pesq_native, wb_pesq_native
 
