@@ -47,6 +47,7 @@ reference in interpret mode (CPU) at several dilations/shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,9 +71,11 @@ def dw_taps_reference(x_ext: jax.Array, wd: jax.Array, d: int) -> jax.Array:
 
 
 _TC = 256  # time-chunk width: bounds the fp32 accumulator VMEM footprint
-# accumulation dtype for the stencil (module-level knob for the profiler's
-# bf16-FMA-rate experiment; fp32 is the parity-tested default)
-ACC_DTYPE = jnp.float32
+# accumulation dtype for the stencil. fp32 is the parity-tested default;
+# CRUSE_DW_ACC=bfloat16 selects bf16 in-kernel accumulation (-18% isolated
+# stencil time -- the VPU does not double-pump bf16 but saves accumulator
+# traffic). Round-4 quality gate: see scripts/dw_acc_gate.py + STATUS.
+ACC_DTYPE = jnp.dtype(os.environ.get("CRUSE_DW_ACC", "float32"))
 
 
 def _stencil_kernel(xp_ref, w_ref, y_ref, *, d: int, k_out: int, t_out: int):

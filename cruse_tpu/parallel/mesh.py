@@ -135,12 +135,20 @@ def place_opt_state(mesh: Mesh, opt_state: Any, p_sh: Any) -> Any:
     def is_typed(n):
         return isinstance(n, (optax.ScaleByAdamState, optax.MultiStepsState))
 
+    def moment_sh(m):
+        # flatten_optimizer collapses the moments to ONE flat vector --
+        # param shardings no longer apply; replicate (documented trade-off
+        # in StepConfig.flatten_optimizer)
+        same = (jax.tree_util.tree_structure(m)
+                == jax.tree_util.tree_structure(p_sh))
+        return p_sh if same else rep
+
     def place(node):
         if isinstance(node, optax.ScaleByAdamState):
             return node._replace(
                 count=put_global(node.count, rep),
-                mu=put_tree(node.mu, p_sh),
-                nu=put_tree(node.nu, p_sh),
+                mu=put_tree(node.mu, moment_sh(node.mu)),
+                nu=put_tree(node.nu, moment_sh(node.nu)),
             )
         if isinstance(node, optax.MultiStepsState):
             return node._replace(

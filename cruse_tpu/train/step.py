@@ -83,6 +83,13 @@ class StepConfig:
     grad_accum_steps: int = 1  # >1: accumulate grads over k steps and
     # apply one averaged Adam update (optax.MultiSteps) -- large effective
     # batches beyond single-chip memory
+    flatten_optimizer: bool = False  # ravel the ~hundreds of small param
+    # leaves into ONE flat vector for clip+Adam (optax.flatten): the
+    # per-leaf update graph launches thousands of tiny kernels on deep
+    # models (MTFAA: 366 leaves, 360 of them <4096 elements). Changes the
+    # opt_state checkpoint layout (resume needs the same setting) and
+    # pins Adam moments replicated on model-sharded meshes -- keep off
+    # for multi-host TP, where moments should follow the param shardings.
     sr: int = 16000  # sample rate: sizes the Bark tables of the perceptual
     # 'pmsqe' loss (the other losses are sr-agnostic)
 
@@ -119,7 +126,19 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
         )
     else:
         inner = optax.adam(make_lr(cfg), b1=cfg.beta1, b2=cfg.beta2)
-    parts = [optax.clip_by_global_norm(cfg.clip_grad_norm), inner]
+    core = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), inner)
+    if cfg.flatten_optimizer:
+        if cfg.weight_decay > 0:
+            # AdamW's decay mask selects ndim>=2 kernels -- on the flat
+            # vector it would silently decay nothing
+            raise ValueError("flatten_optimizer requires weight_decay == 0 "
+                             "(the AdamW ndim-based decay mask cannot see "
+                             "leaf boundaries in the flat vector)")
+        # one flat vector through clip+Adam: collapses the per-leaf update
+        # kernels into a handful of wide fusions (freeze masks stay
+        # OUTSIDE: they are tree-structured by definition)
+        core = optax.flatten(core)
+    parts = [core]
     if cfg.freeze:
         assert not isinstance(cfg.freeze, str), (
             "freeze must be a list/tuple of path substrings, not a string "

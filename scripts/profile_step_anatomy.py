@@ -80,13 +80,17 @@ def main():
     for a in sys.argv[1:]:
         if ":" in a:
             variant = a.split(":", 1)[1]
+    flatopt = variant == "flatopt"
+    if flatopt:
+        variant = "base"
     kw = {"attention_window": 126}
     kw.update(overrides[variant])
     mcfg = MtfaaConfig(**kw)
     model = MtfaaNet(mcfg)
     noisy, clean = _data()
     scfg = StftConfig(n_fft=512, hop_length=256)
-    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16")
+    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16",
+                     flatten_optimizer=flatopt)
 
     def stft_ri(x):
         s = stft(x, scfg)

@@ -24,6 +24,17 @@ import jax
 # the axon sitecustomize re-pins the TPU platform; config wins over env
 jax.config.update("jax_platforms", "cpu")
 
+# share the suite's persistent compile cache (identical graphs across runs;
+# each worker process otherwise recompiles the whole trainer)
+_cache = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
+if _cache != "0":
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 
 def run_trainer(mesh, save_dir: str, process_id: int,
                 expect_multiprocess: bool = True) -> float:

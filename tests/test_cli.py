@@ -23,7 +23,10 @@ def _run_tool(tool: str, argv, timeout=600):
         f"sys.argv = [{tool!r}] + {list(map(str, argv))!r}; "
         f"runpy.run_path({os.path.join(REPO, 'tools', tool)!r}, run_name='__main__')"
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # share the suite's persistent compile cache with the child CLI: the
+    # serve/infer/export graphs are identical across runs, and recompiling
+    # them per test dominated the suite's wall time (round-4 VERDICT #7)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CRUSE_TPU_COMPILE_CACHE="1")
     return subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,

@@ -130,7 +130,7 @@ def test_streaming_container_standalone_consumer(tmp_path, rng):
         "assert out.shape == (1, 160), out.shape\n"
         "print('STANDALONE_OK')\n"
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CRUSE_TPU_COMPILE_CACHE="1")
     res = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                          capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
@@ -218,7 +218,7 @@ def test_export_then_run_exported_cli(tmp_path):
             f"sys.argv = [{tool!r}] + {list(map(str, argv))!r}; "
             f"runpy.run_path({os.path.join(REPO, 'tools', tool)!r}, run_name='__main__')"
         )
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", CRUSE_TPU_COMPILE_CACHE="1")
         return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                               capture_output=True, text=True, timeout=600)
 

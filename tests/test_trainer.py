@@ -423,6 +423,50 @@ def test_weight_decay_optimizer():
     np.testing.assert_allclose(np.asarray(decayed["b"]), 1.0)
 
 
+def test_flatten_optimizer_matches_tree_path():
+    """StepConfig.flatten_optimizer ravels the param leaves into one flat
+    vector for clip+Adam (a kernel-count knob, measured perf-neutral on
+    MTFAA bench shapes where XLA already fuses the update -- see STATUS).
+    Updates must match the tree path bitwise-closely, freeze masks must
+    still pin their params, and weight_decay must be rejected (the AdamW
+    ndim mask cannot see leaf boundaries in the flat vector)."""
+    import jax.numpy as jnp
+    import optax
+
+    from cruse_tpu.dsp.stft import StftConfig
+    from cruse_tpu.train.step import StepConfig, make_optimizer
+
+    params = {"enc": {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))},
+              "dec": {"w": jnp.full((2, 5), 0.5)}}
+    r = np.random.default_rng(1)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(r.standard_normal(p.shape), jnp.float32), params)
+    scfg = StftConfig(n_fft=320, hop_length=160)
+
+    def run(cfg):
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        new = params
+        for _ in range(3):
+            upd, st = tx.update(grads, st, new)
+            new = optax.apply_updates(new, upd)
+        return new
+
+    tree = run(StepConfig(stft=scfg))
+    flat = run(StepConfig(stft=scfg, flatten_optimizer=True))
+    for a, b in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # freeze masks stay OUTSIDE the flat vector and keep working
+    frozen = run(StepConfig(stft=scfg, flatten_optimizer=True, freeze=("enc",)))
+    np.testing.assert_array_equal(np.asarray(frozen["enc"]["w"]),
+                                  np.asarray(params["enc"]["w"]))
+    assert not np.allclose(np.asarray(frozen["dec"]["w"]),
+                           np.asarray(params["dec"]["w"]))
+    with pytest.raises(ValueError, match="flatten_optimizer"):
+        make_optimizer(StepConfig(stft=scfg, flatten_optimizer=True,
+                                  weight_decay=0.1))
+
+
 def test_restore_ema_fallback_is_narrow(tmp_path, rng):
     """Resuming with EMA newly enabled from a pre-EMA checkpoint warm-starts
     ema_params from the restored params; but if the checkpoint DOES carry

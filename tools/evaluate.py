@@ -56,6 +56,9 @@ def main():
                              "paired per-file deltas (-E minus this) with a "
                              "bootstrap CI and win rate per metric.")
     args = parser.parse_args()
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
 
     import numpy as np
 

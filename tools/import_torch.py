@@ -30,6 +30,9 @@ def main():
     parser.add_argument("-O", "--output_dir", required=True,
                         help="Output orbax checkpoint dir (written as <out>/imported).")
     args = parser.parse_args()
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
 
     import jax
     import jax.numpy as jnp

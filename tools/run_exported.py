@@ -33,6 +33,9 @@ def main():
     parser.add_argument("-I", "--input", required=True, help="Dir of wavs or manifest txt.")
     parser.add_argument("-O", "--output_dir", required=True, help="Where to write enhanced wavs.")
     args = parser.parse_args()
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
 
     import numpy as np
     import jax.numpy as jnp

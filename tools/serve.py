@@ -103,6 +103,9 @@ def main():
                              "p99 latency and the fraction of hop deadlines "
                              "missed instead of running flat out")
     args = parser.parse_args()
+    from cruse_tpu.utils.cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CRUSE_TPU_COMPILE_CACHE=1 opt-in
 
     import numpy as np
 

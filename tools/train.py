@@ -136,6 +136,10 @@ def main():
         final_lr_scale=float(opt.get("final_lr_scale", 0.0)),
         ema_decay=(float(opt["ema_decay"]) if "ema_decay" in opt else None),
         grad_accum_steps=int(tr.get("grad_accum_steps", 1)),
+        # kernel-count knob: ravel the param leaves into one flat vector for
+        # clip+Adam (changes the opt_state checkpoint layout; resume needs
+        # the same setting)
+        flatten_optimizer=bool(opt.get("flatten_optimizer", False)),
         sr=int(ac.get("sr", 16000)),
         # the reference's AMP switch (meta.use_amp -> CUDA GradScaler,
         # base_trainer.py:41-42) maps to bf16 mixed precision here: bf16
