@@ -205,7 +205,7 @@ def _dw_bwd(d, interpret, res, g):
             jax.ShapeDtypeStruct((b, 3, 3, c), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gp, xp, wf)
     dwd = jnp.sum(dwd_p, axis=0).astype(wd.dtype)

@@ -23,7 +23,7 @@ def maybe_enable_compile_cache() -> bool:
                                "/root/.cache/cruse_tpu_jax_cache")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         return True
     except Exception:
         return False  # cache is an optimization, never a requirement

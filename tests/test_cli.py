@@ -177,9 +177,14 @@ def test_serve_cli_windowed_mtfaa(tmp_path):
     from cruse_tpu.train.step import StepConfig, init_train_state, forward_for_model
     from cruse_tpu.train.checkpoint import save_checkpoint
 
+    # smallest windowed MTFAA that exercises the serving path: trace +
+    # lowering of the per-hop scan graph is pure CPU and dominated this
+    # test's 54 s (round-4 VERDICT #7); 2 stages/1 TFCM layer keep every
+    # plumbing branch (complex adapter, rolling ASA cache, band up/down)
     scfg = StftConfig(n_fft=256, hop_length=128)
-    model = MtfaaNet(MtfaaConfig(n_fft=256, n_bands=32, channels=(4, 6, 8),
-                                 tfcm_layers=2, attention_window=8))
+    model = MtfaaNet(MtfaaConfig(n_fft=256, n_bands=16, channels=(2, 4),
+                                 band_strides=(2, 2), tfcm_layers=1,
+                                 attention_window=8))
     spec = stft(jnp.zeros((1, 2000)), scfg)
     feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
     state = init_train_state(model, StepConfig(stft=scfg), jax.random.PRNGKey(0), feat)
@@ -190,8 +195,8 @@ def test_serve_cli_windowed_mtfaa(tmp_path):
         "[meta]\nexperiment_name='serve_mtfaa'\n"
         "[acoustics]\nn_fft=256\nhop_length=128\nwin_length=256\nsr=16000\n"
         "[model]\npath='cruse_tpu.models.mtfaa.MtfaaConfig'\n"
-        "[model.args]\nn_fft=256\nn_bands=32\nchannels=[4,6,8]\n"
-        "tfcm_layers=2\nattention_window=8\n"
+        "[model.args]\nn_fft=256\nn_bands=16\nchannels=[2,4]\n"
+        "band_strides=[2,2]\ntfcm_layers=1\nattention_window=8\n"
     )
     wav_dir = tmp_path / "in"
     _write_wavs(wav_dir, ["m1"], seconds=0.4)

@@ -117,11 +117,15 @@ def test_pallas_kernels_match_hand_xla(shape, d):
 def test_mtfaa_net_trains_same_under_impls():
     """Whole-net gradient parity across tfcm_dw_impl settings."""
     rng = np.random.default_rng(2)
-    cspec = jnp.asarray(rng.standard_normal((2, 24, 257, 2)), jnp.float32) * 0.1
+    # smallest net that still exercises every fused code path (2 stages,
+    # 2 dilations, deep-filter head off): whole-net compile x3 impls was
+    # 131 s of suite wall time at the old shapes (round-4 VERDICT #7)
+    cspec = jnp.asarray(rng.standard_normal((2, 16, 129, 2)), jnp.float32) * 0.1
     grads = {}
     for impl in ("xla", "fused", "fused_pallas_interpret"):
-        cfg = MtfaaConfig(attention_window=8, tfcm_dw_impl=impl, n_bands=32,
-                          channels=(8, 8, 8), tfcm_layers=2)
+        cfg = MtfaaConfig(n_fft=256, attention_window=8, tfcm_dw_impl=impl,
+                          n_bands=16, channels=(8, 8), band_strides=(2, 2),
+                          tfcm_layers=2, use_deep_filter=False)
         m = MtfaaNet(cfg)
         v = m.init(jax.random.PRNGKey(0), cspec, train=True)
 
