@@ -76,6 +76,17 @@ _TC = 256  # time-chunk width: bounds the fp32 accumulator VMEM footprint
 # stencil time -- the VPU does not double-pump bf16 but saves accumulator
 # traffic). Round-4 quality gate: see scripts/dw_acc_gate.py + STATUS.
 ACC_DTYPE = jnp.dtype(os.environ.get("CRUSE_DW_ACC", "float32"))
+if ACC_DTYPE != jnp.dtype("float32"):
+    # a stray env var must never change training numerics invisibly
+    import warnings
+
+    warnings.warn(
+        f"CRUSE_DW_ACC={ACC_DTYPE.name}: depthwise-stencil Pallas kernels "
+        "will accumulate in a NON-DEFAULT dtype process-wide (fwd and bwd). "
+        "This trades parity-tested fp32 accumulation for ~18% isolated "
+        "stencil speed; gate quality with scripts/dw_acc_gate.py.",
+        stacklevel=2,
+    )
 
 
 def _stencil_kernel(xp_ref, w_ref, y_ref, *, d: int, k_out: int, t_out: int):

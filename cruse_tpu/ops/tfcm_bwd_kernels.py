@@ -241,6 +241,12 @@ def mid_bwd(gp, h1, wd, m1, v1, g1, be1, a1, d: int, eps: float,
     T is zero-padded to a _TC multiple TL: padded output columns see only
     gp zeros, so dh1a == 0 and every reduction term vanishes there; dh1n
     is trimmed back to T."""
+    if 4 * d > 128:
+        raise ValueError(
+            f"mid_bwd supports TFCM dilation d <= 32 (got d={d}): the "
+            "kernel's aligned [t0, t0+_TC+128) window reads and the "
+            "t_len+128 lane padding both assume 4*d <= 128. Use "
+            "dw_impl='xla' (the hand-XLA backward) for larger dilations.")
     b, k_len, c, t_true = h1.shape
     kc = k_len * c
     t_len = -(-t_true // _TC) * _TC

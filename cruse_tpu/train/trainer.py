@@ -48,6 +48,13 @@ from cruse_tpu.utils.logger import log
 from cruse_tpu.utils.timing import ExecutionTime
 
 
+def _tree_identity(state):
+    """Module-level identity for the _host_state all-gather jit: a stable
+    function object so jit's cache keys one compilation per Trainer, not
+    one per checkpoint save."""
+    return state
+
+
 def _is_complex_model(model) -> bool:
     """Models that consume the RI spectrum and emit the enhanced complex
     spectrum directly (vs magnitude-mask models)."""
@@ -157,6 +164,7 @@ class Trainer:
         # global arrays. Checkpointing gathers them to replicated first
         # (_host_state, an all-process collective), so saves stay
         # coordinator-written host numpy like the data-parallel path.
+        self._gather_identity = None  # _host_state's jitted TP all-gather
         self._tp_multiprocess = (
             self._multiprocess and mesh.shape.get("model", 1) > 1
         )
@@ -224,11 +232,9 @@ class Trainer:
                                     out_shardings=replicated(self.mesh))
         self._adv = None
         if trainer_config.adversarial:
-            if self._multiprocess:
-                raise NotImplementedError(
-                    "adversarial training shards over single-process meshes; "
-                    "multi-process MetricGAN would need a cross-host gather "
-                    "for the host-side PESQ scoring loop")
+            # multi-process meshes: PESQ labels are scored per-process on
+            # the local batch rows and rejoin as a data-sharded global array
+            # (metricgan._score_sharded); D/G steps stay plain SPMD
             self._init_adversarial(dict(trainer_config.adversarial), resume)
         # writer: None = auto-create TensorBoard, False = disabled, else used
         # (non-coordinator processes never write TB -- one event stream)
@@ -352,6 +358,7 @@ class Trainer:
         mg, loss = pretrain_discriminator(
             self._mg_state(), self._adv["steps"], itertools.islice(iter(batches), n),
             sr=self.cfg.sr, replay=self._adv["replay"], put=self._put_array,
+            mesh=self.mesh,
         )
         self._mg_sync(mg)
         log(f"D pretraining ({n} metric-scored batches): mean loss {loss:.5f}")
@@ -471,7 +478,7 @@ class Trainer:
                 mg, metrics = metricgan_train_batch(
                     self._mg_state(), batch, self._adv["steps"],
                     sr=self.cfg.sr, replay=self._adv["replay"],
-                    put=self._put_array,
+                    put=self._put_array, mesh=self.mesh,
                 )
                 self._mg_sync(mg)
             else:
@@ -617,8 +624,14 @@ class Trainer:
             leaves = jax.tree_util.tree_leaves(state)
             if any(isinstance(l, jax.Array) and not l.is_fully_addressable
                    for l in leaves):
-                rep = replicated(self.mesh)
-                state = jax.jit(lambda s: s, out_shardings=rep)(state)
+                # one jitted identity per Trainer: a fresh lambda per call
+                # would key a new jit cache entry and recompile the
+                # all-gather at every checkpoint save / validation stash
+                if self._gather_identity is None:
+                    rep = replicated(self.mesh)
+                    self._gather_identity = jax.jit(
+                        _tree_identity, out_shardings=rep)
+                state = self._gather_identity(state)
         return jax.device_get(state)
 
     def _save(self, epoch: int, best: bool = False, state: Optional[TrainState] = None) -> None:
@@ -635,6 +648,17 @@ class Trainer:
                             epoch, self.best_score, best)
 
     def _is_best_epoch(self, score: float) -> bool:
+        if self._multiprocess:
+            # every process scores its own (replicated) validation copy, so
+            # float divergence around the best threshold could split the
+            # best/not-best decision across hosts -- with model-axis sharding
+            # _save then contains a collective only SOME processes enter
+            # (deadlock). Sync to the coordinator's score first so the
+            # branch below is bitwise-identical everywhere.
+            from jax.experimental import multihost_utils
+
+            score = float(multihost_utils.broadcast_one_to_all(
+                np.asarray(score, np.float64)))
         if self.cfg.save_max_metric_score and score >= self.best_score:
             self.best_score = score
             return True

@@ -52,6 +52,47 @@ def _grads(blk, v, x):
     return jax.grad(loss, argnums=(0, 1))(v["params"], x)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_bn_train_c_grads(dtype):
+    """_bn_train_c's hand-written VJP vs autodiff through the plain
+    fp32-stats BN math (independent implementation: no custom_vjp on the
+    reference side, so a formula bug in _bn_train_c_bwd cannot cancel)."""
+    from cruse_tpu.models.mtfaa import _bn_train_c
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 5, 6, 41)), dtype) * 1.3
+    scale = jnp.asarray(rng.standard_normal(6) * 0.3 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(6) * 0.2, jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((3, 5, 6, 41)), dtype)
+    eps = 1e-5
+
+    def ref_bn(x, scale, bias):
+        # plain autodiff reference: everything in fp32, stats included
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 3))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 3)) - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + eps) * scale
+        out = (xf - mean[:, None]) * inv[:, None] + bias[:, None]
+        return out.astype(x.dtype)
+
+    def loss_custom(x, s, b):
+        out, _m, _v = _bn_train_c(x, s, b, eps)
+        return jnp.sum((out * dy).astype(jnp.float32))
+
+    def loss_ref(x, s, b):
+        return jnp.sum((ref_bn(x, s, b) * dy).astype(jnp.float32))
+
+    gx, gs, gb = jax.grad(loss_custom, argnums=(0, 1, 2))(x, scale, bias)
+    rx, rs, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    for got, want, name in ((gx, rx, "dx"), (gs, rs, "dscale"),
+                            (gb, rb, "dbias")):
+        e = float(jnp.abs(got.astype(jnp.float32) -
+                          want.astype(jnp.float32)).max())
+        scale_ref = float(jnp.abs(want.astype(jnp.float32)).max()) + 1e-6
+        assert e / scale_ref < tol or e < tol, (name, e, scale_ref)
+
+
 @pytest.mark.parametrize("shape,d", [((2, 8, 12, 50), 1), ((2, 6, 4, 40), 4),
                                      ((1, 4, 16, 131), 2)])
 def test_fused_block_matches_xla(shape, d):
