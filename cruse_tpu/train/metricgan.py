@@ -161,11 +161,76 @@ def make_metricgan_steps(gen_model, disc: Discriminator, cfg: MetricGanConfig,
     return enhance, disc_step, gen_step
 
 
+def _data_pspec(mesh, ndim: int):
+    """PartitionSpec matching parallel.mesh.data_sharding (leading dim over
+    the data axes, rest replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    return P(batch_axes, *([None] * (ndim - 1)))
+
+
+def _local_rows(arr, mesh) -> np.ndarray:
+    """This process's host rows of a data-sharded global array, in exactly
+    the order `_rows_to_global` will reassemble them (multihost_utils'
+    local<->global round trip is its documented contract)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.global_array_to_host_local_array(
+            arr, mesh, _data_pspec(mesh, arr.ndim)))
+
+
+def _rows_to_global(local: np.ndarray, mesh):
+    """Inverse of _local_rows: per-process local rows -> one data-sharded
+    global array (row-aligned with any other array built the same way)."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(local), mesh, _data_pspec(mesh, np.ndim(local)))
+
+
+def _score_sharded(clean, enhanced, sr: int, mesh):
+    """Multi-process quality scoring: each process scores ONLY its local
+    batch rows (host PESQ is the expensive part -- this is the cross-host
+    split the single-process path doesn't need), then the per-row scalar
+    labels rejoin as a data-sharded global array row-aligned with the
+    inputs. Returns (global_scores | None, local_clean, local_enh,
+    local_scores | None); None means scoring failed on SOME process (the
+    failure decision is allgathered so every process takes the same branch
+    -- a split decision would desynchronize the jitted D-step collective).
+    """
+    from jax.experimental import multihost_utils
+
+    lc = _local_rows(clean, mesh)
+    le = _local_rows(enhanced, mesh)
+    ls = batch_quality_scores(list(lc), list(le), sr=sr)
+    ok = np.asarray([ls is not None], np.int32)
+    all_ok = bool(np.all(multihost_utils.process_allgather(ok)))
+    if not all_ok:
+        return None, lc, le, None
+    return _rows_to_global(ls, mesh), lc, le, ls
+
+
+def _spans_processes(mesh) -> bool:
+    if mesh is None:
+        return False
+    from cruse_tpu.parallel.mesh import mesh_spans_processes
+
+    return mesh_spans_processes(mesh)
+
+
 class ReplayBuffer:
     """Historical (clean, enhanced, score) triples for D replay.
 
     Bounded FIFO on the host; `sample` draws a random past batch so each D
-    update sees one fresh batch and one historical batch."""
+    update sees one fresh batch and one historical batch.
+
+    Multi-process contract: every process holds its LOCAL batch rows under
+    the SAME entry indices (adds happen in lockstep on every process), and
+    `sample` uses a deterministic per-instance rng seeded identically -- so
+    all processes draw the same entry and the reassembled global replay
+    batch is exactly a past global batch."""
 
     def __init__(self, capacity: int = 32, seed: int = 0):
         self.capacity = capacity
@@ -195,6 +260,7 @@ def pretrain_discriminator(
     sr: int = 16000,
     replay: ReplayBuffer | None = None,
     put=None,
+    mesh=None,
 ):
     """D pretraining on metric-scored synthetic degradations: for each
     (noisy, clean) batch the *noisy mixture itself* is the degraded signal
@@ -203,20 +269,33 @@ def pretrain_discriminator(
 
     `put` (optional) places host arrays onto the trainer's mesh (data-
     sharded) so the jitted D step never mixes committed global arrays with
-    uncommitted host values."""
+    uncommitted host values. When `mesh` spans processes, each process
+    scores only its local rows and the labels rejoin as a data-sharded
+    global array (same split-scoring path as metricgan_train_batch)."""
     _, disc_step, _ = steps
     put = put if put is not None else (lambda x: x)
+    multi = _spans_processes(mesh)
     losses = []
     for batch in batches:
-        clean, noisy = batch["clean"], batch["noisy"]
-        scores = batch_quality_scores(
-            list(np.asarray(clean)), list(np.asarray(noisy)), sr=sr
-        )
-        if scores is None:
-            continue
-        state, m = disc_step(state, put(clean), put(noisy), put(jnp.asarray(scores)))
-        if replay is not None:
-            replay.add(clean, noisy, scores)
+        if multi:
+            clean, noisy = put(batch["clean"]), put(batch["noisy"])
+            scores_g, lc, ln, ls = _score_sharded(clean, noisy, sr, mesh)
+            if scores_g is None:
+                continue
+            state, m = disc_step(state, clean, noisy, scores_g)
+            if replay is not None:
+                replay.add(lc, ln, ls)
+        else:
+            clean, noisy = batch["clean"], batch["noisy"]
+            scores = batch_quality_scores(
+                list(np.asarray(clean)), list(np.asarray(noisy)), sr=sr
+            )
+            if scores is None:
+                continue
+            state, m = disc_step(state, put(clean), put(noisy),
+                                 put(jnp.asarray(scores)))
+            if replay is not None:
+                replay.add(clean, noisy, scores)
         losses.append(float(m["disc_loss"]))
     return state, float(np.mean(losses)) if losses else float("nan")
 
@@ -228,15 +307,39 @@ def metricgan_train_batch(
     sr: int = 16000,
     replay: ReplayBuffer | None = None,
     put=None,
+    mesh=None,
 ):
     """One full alternation: enhance -> host quality scoring -> D step (fresh
     batch + one historical replay batch) -> G step. Returns (state, metrics).
 
     On a mesh, `batch` arrives data-sharded (trainer._put_batch) and `put`
-    places the host-side values (scores, replay triples) the same way."""
+    places the host-side values (scores, replay triples) the same way.
+    When `mesh` spans processes, each process runs host PESQ only on its
+    LOCAL rows and the tiny per-row labels rejoin as a data-sharded global
+    array (the D/G steps themselves are plain SPMD either way); the replay
+    buffer then holds local rows on every process (see ReplayBuffer's
+    multi-process contract)."""
     enhance, disc_step, gen_step = steps
     put = put if put is not None else (lambda x: x)
     enhanced = enhance(state, batch["noisy"])
+    if _spans_processes(mesh):
+        scores_g, lc, le, ls = _score_sharded(
+            batch["clean"], enhanced, sr, mesh)
+        if scores_g is None:  # PESQ refused somewhere -- skip D everywhere
+            metrics_d = {"disc_loss": jnp.nan}
+        else:
+            state, metrics_d = disc_step(state, batch["clean"], enhanced,
+                                         scores_g)
+            if replay is not None:
+                past = replay.sample()
+                if past is not None:
+                    c, e, s = past
+                    state, _ = disc_step(
+                        state, _rows_to_global(c, mesh),
+                        _rows_to_global(e, mesh), _rows_to_global(s, mesh))
+                replay.add(lc, le, ls)
+        state, metrics_g = gen_step(state, batch)
+        return state, {**metrics_d, **metrics_g}
     scores = batch_quality_scores(
         list(np.asarray(batch["clean"])), list(np.asarray(enhanced)), sr=sr
     )

@@ -220,6 +220,56 @@ def test_two_process_trainer_model_sharded(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_metricgan(tmp_path):
+    """MetricGAN+ across processes (round-4 VERDICT item 2): two processes
+    run D pretraining + two full alternations over a 2x4-device global
+    mesh. PESQ labels are scored per-process on the LOCAL batch rows and
+    rejoin as a data-sharded global array; D/G steps stay SPMD. Checks:
+    identical losses on both processes, and they match the single-process
+    same-mesh run (full-batch scoring path) to float tolerance."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MP_SAVE_DIR"] = str(tmp_path)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+
+    def make_cmds(coordinator):
+        import shutil
+
+        for child in tmp_path.iterdir():
+            shutil.rmtree(child, ignore_errors=True)
+        return [
+            ([sys.executable, worker, coordinator, "2", str(i), "trainer_gan"], {})
+            for i in range(2)
+        ]
+
+    outs = _launch_group(make_cmds, env)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_GAN"):
+                parts = line.split()
+                results[int(parts[1])] = [float(v) for v in parts[2:]]
+    assert sorted(results) == [0, 1], f"missing results: {outs}"
+    # both processes computed the same global alternation
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    # and it matches the single-process run on the same mesh shape (which
+    # scores the full batch on one host -- same labels, same losses)
+    from cruse_tpu.parallel.mesh import make_mesh
+    from tests.mp_worker import run_gan
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    ref = run_gan(mesh, str(tmp_path / "sp_ref"), 0,
+                  expect_multiprocess=False)
+    order = ("disc_loss", "gen_loss", "task_loss", "adv_loss")
+    np.testing.assert_allclose(
+        results[0], [ref[k] for k in order], rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_cli_training(tmp_path):
     """The user-facing multi-host path: TWO processes run `tools/train.py
     -C tiny_cruse -N 8` joined by env-driven jax.distributed
