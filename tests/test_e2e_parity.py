@@ -56,7 +56,7 @@ class TorchCruse(torch.nn.Module):
             [torch.nn.BatchNorm2d(c, eps=1e-5) for c in dec_out[:-1]]
         )
 
-    def forward(self, mag):
+    def forward(self, mag, return_features=False):
         x = torch.pow(torch.clamp(mag, min=1e-12), self.cfg.compression_exponent)
         x = x[:, None]  # [B, 1, T, F]
         skips = []
@@ -75,13 +75,17 @@ class TorchCruse(torch.nn.Module):
         chunks = torch.chunk(out, g, dim=-1)
         out = torch.cat([self.gru2[i](chunks[i])[0] for i in range(g)], dim=-1)
         out = self.ln2(out)
+        feats = out  # bottleneck output (CruseNet's emit_features tap)
         x = out.reshape(b, t, f, c).permute(0, 3, 1, 2)
         for li, conv in enumerate(self.dec):
             x = x + skips[len(skips) - 1 - li]
             x = conv(x)[:, :, :-1, :]  # causal trim
             if li < len(self.dec) - 1:
                 x = torch.relu(self.dec_bn[li](x))
-        return torch.sigmoid(x[:, 0])  # [B, T, F]
+        mask = torch.sigmoid(x[:, 0])  # [B, T, F]
+        if return_features:
+            return mask, feats
+        return mask
 
 
 def sync_weights(variables, tm: TorchCruse, cfg: CruseConfig):
@@ -135,6 +139,168 @@ def test_model_parity(rng):
     with torch.no_grad():
         ref = tm(torch.from_numpy(mag)).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def _torch_stft(noisy: np.ndarray, n_fft: int, hop: int):
+    win = torch.hann_window(n_fft)
+    return torch.stft(torch.from_numpy(noisy), n_fft, hop, n_fft, window=win,
+                      return_complex=True, center=True)  # [B, F, T]
+
+
+def _torch_istft(spec, n_fft: int, hop: int, length: int) -> np.ndarray:
+    win = torch.hann_window(n_fft)
+    return torch.istft(spec, n_fft, hop, n_fft, window=win,
+                       length=length).numpy()
+
+
+def test_dfsmn_full_pipeline_waveform_parity(rng):
+    """BASELINE config 4 (DFSMN) end-to-end: noisy wav -> STFT -> model ->
+    iSTFT matches a torch mirror at 1e-4 max-abs on the enhanced waveform,
+    and the frame-by-frame streaming model path reproduces the SAME
+    waveform (round-4 VERDICT item 3)."""
+    from cruse_tpu.models.dfsmn import DfsmnNet
+
+    from tests.test_dfsmn import _TorchDfsmn
+
+    n_fft, hop, length = 320, 160, 16000
+    scfg = StftConfig(n_fft=n_fft, hop_length=hop)
+    model = DfsmnNet(in_freq=161, hidden_dim=24, num_blocks=3,
+                     left_frames=2, left_dilation=1, right_frames=0)
+    noisy = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+
+    spec = stft(jnp.asarray(noisy), scfg)
+    feat = model.compress(jnp.abs(spec))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), feat)
+    mask, _ = jax.jit(model.apply)(variables, feat)
+    ours = np.asarray(istft(spec * mask, scfg, length=length))
+
+    # torch mirror: Linear+relu -> 3 causal DFSMN blocks (skip chain from
+    # block 1 on, exactly DfsmnNet's wiring) -> Linear+sigmoid mask head
+    p = variables["params"]
+    blocks = []
+    with torch.no_grad():
+        proj_in = torch.nn.Linear(161, 24)
+        proj_in.weight.copy_(torch.from_numpy(np.asarray(p["proj_in"]["kernel"]).T))
+        proj_in.bias.copy_(torch.from_numpy(np.asarray(p["proj_in"]["bias"])))
+        for i in range(3):
+            q = p[f"block_{i}"]
+            tb = _TorchDfsmn(24, 24, 24, 2, 1, 0, 1)
+            tb.in_conv.weight.copy_(torch.from_numpy(np.asarray(q["in_conv"]["kernel"]).T[:, :, None]))
+            tb.in_conv.bias.copy_(torch.from_numpy(np.asarray(q["in_conv"]["bias"])))
+            tb.left_conv[1].weight.copy_(
+                torch.from_numpy(np.transpose(np.asarray(q["left_kernel"]), (2, 1, 0))))
+            tb.out_conv.weight.copy_(torch.from_numpy(np.asarray(q["out_conv"]["kernel"]).T[:, :, None]))
+            tb.out_conv.bias.copy_(torch.from_numpy(np.asarray(q["out_conv"]["bias"])))
+            if i > 0:
+                tb.weight.copy_(torch.from_numpy(np.asarray(q["skip_weight"])[None]))
+            blocks.append(tb)
+        mask_head = torch.nn.Linear(24, 161)
+        mask_head.weight.copy_(torch.from_numpy(np.asarray(p["mask_head"]["kernel"]).T))
+        mask_head.bias.copy_(torch.from_numpy(np.asarray(p["mask_head"]["bias"])))
+
+        tspec = _torch_stft(noisy, n_fft, hop)
+        tmag = tspec.abs().transpose(1, 2)  # [B, T, F]
+        x = torch.relu(proj_in(torch.pow(torch.clamp(tmag, min=1e-12), 0.3)))
+        x = x.transpose(1, 2)  # Conv1d layout [B, D, T]
+        hidden = None
+        for tb in blocks:
+            x, hidden = tb(x, hidden)
+        tmask = torch.sigmoid(mask_head(x.transpose(1, 2)))
+        ref = _torch_istft(tspec * tmask.transpose(1, 2), n_fft, hop, length)
+
+    err = np.abs(ours - ref).max()
+    assert err < 1e-4, f"DFSMN waveform parity {err} >= 1e-4"
+
+    # streaming: per-frame state-carried masks rebuild the same waveform
+    step = jax.jit(model.apply)
+    state = model.init_state(1)
+    masks = []
+    for t in range(feat.shape[1]):
+        m, state = step(variables, feat[:, t : t + 1], state)
+        masks.append(np.asarray(m))
+    mask_s = jnp.asarray(np.concatenate(masks, axis=1))
+    ours_s = np.asarray(istft(spec * mask_s, scfg, length=length))
+    err_s = np.abs(ours_s - ref).max()
+    assert err_s < 1e-4, f"DFSMN streaming-vs-torch parity {err_s} >= 1e-4"
+
+
+def test_cruse_df_full_pipeline_waveform_parity(rng):
+    """BASELINE config 3 (CRUSE + deep filter) end-to-end vs a torch
+    mirror: mask everywhere + causal complex multi-frame filtering on the
+    low bins, 1e-4 max-abs on the enhanced waveform; the streaming DF
+    application (rolling masked-spectrum history) reproduces the same
+    waveform (round-4 VERDICT item 3)."""
+    from cruse_tpu.models.cruse_df import (
+        CruseDfConfig, CruseDfNet, apply_cruse_df, apply_cruse_df_streaming,
+        df_stream_init,
+    )
+    from cruse_tpu.models.deep_filter import tap_offsets
+
+    n_fft, hop, length = 320, 160, 16000
+    scfg = StftConfig(n_fft=n_fft, hop_length=hop)
+    ccfg = CruseConfig(in_freq=161, channels=(4, 8), rnn_groups=2,
+                       emit_features=True)
+    cfg = CruseDfConfig(cruse=ccfg, df_bins=48, df_taps_t=2, df_taps_f=1)
+    model = CruseDfNet(cfg)
+    noisy = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+
+    spec = stft(jnp.asarray(noisy), scfg)
+    feat = model.compress(jnp.abs(spec))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2), feat)
+    (mask, coefs), _ = jax.jit(model.apply)(variables, feat)
+    ours = np.asarray(istft(apply_cruse_df(spec, mask, coefs, cfg), scfg,
+                            length=length))
+
+    # torch mirror: the proven TorchCruse trunk (emitting the bottleneck)
+    # + a Linear DF head + an explicit per-tap complex MAC
+    p = variables["params"]
+    tm = TorchCruse(ccfg).eval()
+    sync_weights({"params": p["cruse"]}, tm, ccfg)
+    with torch.no_grad():
+        k = cfg.num_taps
+        df_head = torch.nn.Linear(tm.ln2.weight.shape[0], cfg.df_bins * k * 2)
+        df_head.weight.copy_(torch.from_numpy(np.asarray(p["df_head"]["kernel"]).T))
+        df_head.bias.copy_(torch.from_numpy(np.asarray(p["df_head"]["bias"])))
+
+        tspec = _torch_stft(noisy, n_fft, hop)
+        tmag = tspec.abs().transpose(1, 2)
+        tmask, tfeats = tm(tmag, return_features=True)
+        tcoefs = df_head(tfeats).reshape(1, -1, cfg.df_bins, k, 2) / k
+        masked = tspec.transpose(1, 2) * tmask  # [B, T, F]
+        low = masked[:, :, : cfg.df_bins]
+        out = torch.zeros_like(low)
+        cc = torch.complex(tcoefs[..., 0], tcoefs[..., 1])
+        t_len = low.shape[1]
+        for ki, (dt, df) in enumerate(tap_offsets(cfg.df_taps_t, cfg.df_taps_f,
+                                                  causal=True)):
+            src = low
+            if dt > 0:  # past frames only (causal layout)
+                src = torch.nn.functional.pad(src, (0, 0, dt, 0))[:, :t_len]
+            if df > 0:
+                src = torch.nn.functional.pad(src, (df, 0))[:, :, : low.shape[-1]]
+            elif df < 0:
+                src = torch.nn.functional.pad(src, (0, -df))[:, :, -df:]
+            out = out + src * cc[..., ki]
+        refined = torch.cat([out, masked[:, :, cfg.df_bins :]], dim=2)
+        ref = _torch_istft(refined.transpose(1, 2), n_fft, hop, length)
+
+    err = np.abs(ours - ref).max()
+    assert err < 1e-4, f"CRUSE+DF waveform parity {err} >= 1e-4"
+
+    # streaming: per-frame model + rolling-history DF application rebuild
+    # the same waveform
+    step = jax.jit(model.apply)
+    mstate, dstate = None, df_stream_init(1, cfg)
+    frames = []
+    for t in range(feat.shape[1]):
+        (m, c), mstate = step(variables, feat[:, t : t + 1], mstate)
+        frame, dstate = apply_cruse_df_streaming(
+            dstate, spec[:, t], m[:, 0], c[:, 0], cfg)
+        frames.append(np.asarray(frame))
+    spec_s = jnp.asarray(np.stack(frames, axis=1))
+    ours_s = np.asarray(istft(spec_s, scfg, length=length))
+    err_s = np.abs(ours_s - ref).max()
+    assert err_s < 1e-4, f"CRUSE+DF streaming-vs-torch parity {err_s} >= 1e-4"
 
 
 def test_full_pipeline_waveform_parity(rng):
