@@ -713,11 +713,23 @@ class MtfaaConfig:
     tfcm_remat: bool = False  # checkpoint each TFCM block (measured
     # NEGATIVE on v5e: recompute does not restore fusion; kept as a
     # memory knob)
-    tfcm_dw_impl: str = "xla"  # "pallas": fused depthwise stencil with
-    # one-pass dx+dwd backward (ops/dw_kernel.py)
+    tfcm_dw_impl: str = "fused_fold"  # TFCM training-path implementation:
+    # "fused_fold" (default, round-5): hand-scheduled 3-phase backward
+    #   (ops/tfcm_train.py) + BN1 algebraically folded into the 1x1
+    #   contraction (stats from the CxC Gram of x; the normalized
+    #   activation is emitted directly and reused by the backward).
+    #   Measured: windowed train step 130.8 -> 123.7 ms (+5.7%).
+    # "fused": same hand-scheduled backward, unfolded BN1.
+    # "xla": plain autodiff through BatchNormC (reference semantics).
+    # "pallas"/"fused_pallas": Pallas stencil variants (measured ties/
+    #   losses, kept as documented experiments; ops/dw_kernel.py).
+    # All impls share parameter/stat names -- checkpoints interchange.
     attention_window: Optional[int] = None  # None = full causal (no streaming)
     asa_impl: str = "auto"  # "auto" resolves to the einsum path (the flash
     # Pallas kernel measured SLOWER, ops/asa_kernel.py; opt in with "flash")
+    asa_enabled: bool = True  # ablation knob (scripts/floor_derivation.py):
+    # False removes the ASA blocks entirely to measure their differential
+    # cost in the full training graph. Not a production configuration.
     mask_activation: str = "sigmoid"
     use_deep_filter: bool = True
     df_taps_t: int = 1
@@ -779,10 +791,11 @@ class MtfaaNet(nn.Module):
             x, new_state[f"enc_tfcm_{si}"] = TFCM(ch, cfg.tfcm_layers, cfg.tfcm_remat, cfg.tfcm_dw_impl, name=f"enc_tfcm_{si}")(
                 x, st.get(f"enc_tfcm_{si}"), train=train
             )
-            x, new_state[f"enc_asa_{si}"] = AxialSelfAttention(
-                ch, window=cfg.attention_window, impl=cfg.asa_impl,
-                name=f"enc_asa_{si}"
-            )(x, st.get(f"enc_asa_{si}"), train=train)
+            if cfg.asa_enabled:
+                x, new_state[f"enc_asa_{si}"] = AxialSelfAttention(
+                    ch, window=cfg.attention_window, impl=cfg.asa_impl,
+                    name=f"enc_asa_{si}"
+                )(x, st.get(f"enc_asa_{si}"), train=train)
             skips.append(x)
 
         for si in reversed(range(len(cfg.channels))):

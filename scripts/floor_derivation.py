@@ -1,0 +1,637 @@
+"""Falsifiable throughput-floor derivation for BASELINE config 5
+(windowed MTFAA end-to-end training) — round-5 VERDICT item 1a.
+
+The claim to adjudicate: the 5000x-realtime target for config 5 is/is not
+reachable on one v5e chip. Previous rounds bounded the floor empirically
+(three parity-tested Pallas kernels tie/lose to XLA); this script replaces
+"we believe it's architectural" with an artifact built from four parts:
+
+  calib    measured primitive throughputs on THIS chip: VPU fma-chain rate
+           (bf16/f32), a load-heavy elementwise rate, HBM stream rate, and
+           big-matmul MXU rate (sanity vs the 197 TFLOP/s spec).
+  count    an ANALYTIC op inventory of the windowed train step: every
+           contraction (M, N, K, fwd/bwd passes) and every elementwise
+           pass (elements x counted vector slots/element), derived from
+           the model config — auditable line by line below.
+  ablate   differential cost of each subsystem measured in the FULL
+           production step (tfcm_layers=0 / asa_enabled=False /
+           use_deep_filter=False ablations) + XLA cost-model flops for the
+           same ablations: cross-checks the inventory against the compiler
+           and the wall clock.
+  derive   per-group hardware floor = max(MXU-occupancy time, VPU-slot
+           time, mandatory-HBM time) at the measured rates; the sum is the
+           step's floor, and audio_seconds/floor is the derived CEILING in
+           x-realtime that the 5000x target is judged against (FLOOR.md).
+
+MXU occupancy model: one v5e MXU pass multiplies a 128x128 tile; a
+contraction with dims (M, N, K) cannot exceed
+  eff(M) * eff(N) * eff(K),   eff(d) = d / (128 * ceil(d / 128))
+of peak MACs/s on any non-packed schedule (padding rows/cols of the
+systolic array do zero useful work). Packing several independent small
+contractions into one pass could in principle beat this; measured attempts
+(scripts/profile_grouped_matmul.py band-folding, profile_dw_mxu.py) did
+not, and XLA does not do it — the bound is stated with that caveat.
+
+Usage:
+  python scripts/floor_derivation.py calib     # ~2 min on-chip
+  python scripts/floor_derivation.py ablate    # ~20 min (4 step compiles)
+  python scripts/floor_derivation.py isolate   # ~10 min (blocks + ASA)
+  python scripts/floor_derivation.py derive    # pure math + report
+Measurements accumulate in scripts/floor_measurements.json; `derive` reads
+them and prints the FLOOR.md tables.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_cache = os.environ.get("CRUSE_TPU_TEST_CACHE", "/root/.cache/cruse_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+MEAS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "floor_measurements.json")
+
+# bench config 5 shapes (bench.py bench_mtfaa_train, window=126)
+B, SECONDS, SR = 16, 10, 16000
+NFFT, HOP = 512, 256
+T = SECONDS * SR // HOP + 1          # 626 frames
+F = NFFT // 2 + 1                    # 257 bins
+K0 = 128                             # filterbank bands
+CPE = 4                              # phase-encoder channels
+CHANNELS = (24, 32, 48)
+TFCM_LAYERS = 4
+WIN = 126                            # ASA window
+AUDIO_SEC = B * SECONDS              # 160 audio-seconds per step
+
+# v5e public spec peaks
+PEAK_BF16_MACS = 197e12 / 2.0        # MAC/s (1 MAC = 2 flops)
+
+
+def _load():
+    if os.path.exists(MEAS_PATH):
+        with open(MEAS_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _save(meas):
+    with open(MEAS_PATH, "w") as f:
+        json.dump(meas, f, indent=1, sort_keys=True)
+    print(f"[saved {MEAS_PATH}]")
+
+
+def _time3(loop, *args):
+    """profile_mtfaa.py protocol: warmup, then best-of-3 on perturbed
+    inputs with a float() round trip (tunnel caches identical runs)."""
+    float(loop(*args))
+    times = []
+    for rep in range(3):
+        fresh = (args[0] * (1.0 + 1e-3 * (rep + 1)),) + args[1:]
+        float(jnp.asarray(fresh[0]).ravel()[0])
+        t0 = time.perf_counter()
+        float(loop(*fresh))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+# ---------------------------------------------------------------- calib
+
+
+def calib():
+    """Measured primitive rates on this chip. Each kernel is trivially
+    optimal for its resource; rates are the denominators of the floor."""
+    meas = _load()
+    it = 200
+
+    def chain_rate(dtype, stages=64):
+        # x = x*x + x per stage: 1 FMA + 1 mul = 2 vector ops/elem/stage,
+        # not algebraically collapsible; one load + one store per kernel.
+        shape = (16, 64, 24, 640)  # ~15.7M elems, stage-0-like, lane-dense
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(shape),
+                        dtype) * 1e-3
+
+        @jax.jit
+        def loop(x):
+            def body(i, x):
+                for _ in range(stages):
+                    x = x * x + x
+                return x * 0.999
+            y = lax.fori_loop(0, it, body, x)
+            return jnp.sum(y.astype(jnp.float32))
+
+        dt = _time3(loop, x) / it
+        ops = math.prod(shape) * stages * 2  # mul + add... FMA issues as 1;
+        # report SLOTS conservatively as `stages` FMA-issues + `stages` muls
+        slots = math.prod(shape) * stages * 2
+        return slots / dt, dt
+
+    for name, dt_ in (("vpu_slots_bf16", jnp.bfloat16), ("vpu_slots_f32", jnp.float32)):
+        rate, dt = chain_rate(dt_)
+        meas[name] = rate
+        print(f"{name:18s} {rate/1e12:6.2f} T-slots/s  ({dt*1e3:.2f} ms/kernel)")
+
+    # load-heavy elementwise: z = x + y on two distinct arrays (2 loads,
+    # 1 add, 1 store per element) -> the memory-port-bound VPU rate
+    shape = (16, 64, 24, 640)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+
+    @jax.jit
+    def loop_add(x, y):
+        def body(i, x):
+            return (x + y) * jnp.bfloat16(0.9999)
+        z = lax.fori_loop(0, it, body, x)
+        return jnp.sum(z.astype(jnp.float32))
+
+    dt = _time3(loop_add, x, y) / it
+    meas["elemwise_pass_per_s"] = math.prod(shape) / dt  # elements/s for a
+    # minimal read-read-add-write pass (HBM resident)
+    print(f"elemwise 2r1w pass {math.prod(shape)/dt/1e9:6.1f} Gelem/s "
+          f"({dt*1e3:.3f} ms/pass of {math.prod(shape)/1e6:.0f}M)")
+
+    # HBM stream rate: big copy-scale (read + write)
+    big = jnp.asarray(rng.standard_normal((256, 1024, 1024)), jnp.bfloat16)
+
+    @jax.jit
+    def loop_copy(x):
+        def body(i, x):
+            return x * jnp.bfloat16(1.0000001)
+        y = lax.fori_loop(0, 50, body, x)
+        return jnp.sum(y[:2, :2].astype(jnp.float32))
+
+    dt = _time3(loop_copy, big) / 50
+    bts = big.size * 2 * 2  # read + write, bf16
+    meas["hbm_bytes_per_s"] = bts / dt
+    print(f"hbm stream        {bts/dt/1e9:6.0f} GB/s")
+
+    # MXU at full occupancy (sanity vs 98.5e12 MAC/s spec)
+    m = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+
+    @jax.jit
+    def loop_mm(x):
+        def body(i, x):
+            return (x @ m) * jnp.bfloat16(1e-2)
+        y = lax.fori_loop(0, 100, body, x)
+        return jnp.sum(y[:2, :2].astype(jnp.float32))
+
+    dt = _time3(loop_mm, m) / 100
+    meas["mxu_macs_per_s"] = 4096**3 / dt
+    print(f"mxu big-matmul    {4096**3/dt/1e12:6.1f} T-MAC/s "
+          f"({100*4096**3/dt/PEAK_BF16_MACS:.0f}% of spec peak)")
+
+    _save(meas)
+
+
+# ---------------------------------------------------------------- count
+
+def eff(d):
+    return d / (128.0 * math.ceil(d / 128.0))
+
+
+class Inventory:
+    def __init__(self):
+        self.einsums = []   # (group, desc, M, N, K, count, passes)
+        self.vpu = []       # (group, desc, elems, slots_per_elem, note)
+        self.bytes_ = []    # (group, desc, bytes_total)
+
+    def einsum(self, group, desc, M, N, K, count=1, passes=3):
+        self.einsums.append((group, desc, M, N, K, count, passes))
+
+    def vpu_pass(self, group, desc, elems, slots, note=""):
+        self.vpu.append((group, desc, elems, slots, note))
+
+    def traffic(self, group, desc, nbytes):
+        self.bytes_.append((group, desc, nbytes))
+
+    def mxu_time(self, rate_full, vpu_rate=None):
+        # per-class floor = min(MXU route, VPU route):
+        #  - MXU: measured full-occupancy rate x eff() occupancy factors
+        #    (padded systolic rows/cols do no useful work)
+        #  - VPU: any contraction can instead run as broadcast-FMAs at
+        #    M*N*K slots (XLA in fact lowers K=1/tiny-K contractions this
+        #    way). At C<=24 the VPU route rivals the MXU's <4% occupancy.
+        t = {}
+        for g, d, M, N, K, c, p in self.einsums:
+            occ = eff(M) * eff(N) * eff(K)
+            mxu = (M * N * K * c * p) / (rate_full * occ)
+            if vpu_rate:
+                vpu = (M * N * K * c * p) / vpu_rate
+                mxu = min(mxu, vpu)
+            t[g] = t.get(g, 0.0) + mxu
+        return t
+
+    def mxu_macs(self):
+        t = {}
+        for g, d, M, N, K, c, p in self.einsums:
+            t[g] = t.get(g, 0.0) + M * N * K * c * p
+        return t
+
+    def vpu_time(self, slot_rate):
+        t = {}
+        for g, d, e, s, _ in self.vpu:
+            t[g] = t.get(g, 0.0) + e * s / slot_rate
+        return t
+
+    def hbm_time(self, rate):
+        t = {}
+        for g, d, nb in self.bytes_:
+            t[g] = t.get(g, 0.0) + nb / rate
+        return t
+
+
+def build_inventory():
+    """The windowed train step's op inventory, counted from the config.
+
+    Conventions:
+    - `passes=3` for parameter contractions: fwd (x@W), bwd-dx (dy@W^T),
+      bwd-dW (x^T@dy) all have identical M*N*K (contraction dims rotate).
+      Attention einsums likewise: d(logits) and d(q)/d(k) each replay the
+      same MACs -> 3 passes per fwd einsum.
+    - VPU slots count VECTOR ISSUES per element: an FMA is 1 slot, a bare
+      add/mul/select 1 slot, a strided/shifted tap READ 1 slot (the
+      T-minor shifts are VMEM loads at lane offsets — they occupy a port
+      even when they hit VMEM). Stat reductions count 1 slot/element/pass.
+    - bytes count MANDATORY HBM traffic only: fwd reads inputs + writes
+      outputs once; bwd reads the output cotangent + saved input and
+      writes the input cotangent (3 tensors) — anything beyond that is
+      implementation, not physics. bf16 = 2 bytes.
+    """
+    inv = Inventory()
+    enc_shapes = []  # (K_bands, C) after each encoder stage conv
+    kb = K0
+    for ch in CHANNELS:
+        kb //= 2
+        enc_shapes.append((kb, ch))
+
+    # ---- phase encoder: ComplexConv(8,(3,1)) on [B,F,2,T] + CLP (1,1)
+    m_pe = B * F * T
+    inv.einsum("pe", "cconv taps r/i", m_pe, 4, 1, count=4 * 3)
+    inv.einsum("pe", "clp 1x1 r/i", m_pe, 4, 4, count=4)
+    inv.vpu_pass("pe", "mag+pow", m_pe * CPE, 8, "sqrt/pow ~4 slots + bwd")
+    inv.traffic("pe", "act", 3 * (m_pe * 2 + m_pe * CPE) * 2)
+
+    # ---- banks: amp2bank fwd+bwd-dx (fixed matrix: no dW) = 2 passes
+    inv.einsum("banks", "amp2bank", B * CPE * T, K0, F, passes=2)
+    inv.einsum("banks", "bank2amp(mask)", B * T, F, K0, passes=2)
+    inv.traffic("banks", "act", 3 * (B * CPE * T * (F + K0)) * 2)
+
+    # ---- encoder/decoder band convs
+    kb_in, c_in = K0, CPE
+    for si, (kb, ch) in enumerate(enc_shapes):
+        # fast path: 6 taps concatenated -> one [6*c_in, ch] contraction
+        inv.einsum("bandconv", f"enc{si}", B * kb * T, ch, 6 * c_in)
+        inv.vpu_pass("bandconv", f"enc{si} bn+prelu",
+                     B * kb * ch * T, 14, "BN fwd 5 + bwd 7, PReLU 2... see note")
+        inv.traffic("bandconv", f"enc{si}",
+                    3 * (B * kb_in * c_in * T + B * kb * ch * T) * 2)
+        kb_in, c_in = kb, ch
+    # decoder mirrors: BandUpConv = 6 tap einsums (even/odd split)
+    dec = list(zip([s[0] for s in enc_shapes],
+                   [CHANNELS[i - 1] if i > 0 else CPE for i in range(len(CHANNELS))]))
+    for si in reversed(range(len(CHANNELS))):
+        kb, c_in2 = enc_shapes[si]
+        ch_out = CHANNELS[si - 1] if si > 0 else CPE
+        inv.einsum("bandconv", f"dec{si}", B * kb * T, ch_out, c_in2, count=6)
+        inv.vpu_pass("bandconv", f"dec{si} bn+prelu+skip",
+                     B * 2 * kb * ch_out * T, 16, "BN+PReLU+skip add")
+        inv.traffic("bandconv", f"dec{si}",
+                    3 * (B * kb * c_in2 * T + B * 2 * kb * ch_out * T) * 2)
+
+    # ---- TFCM stacks: 4 blocks at each of 6 stage shapes
+    tfcm_sites = [(kb, ch) for kb, ch in enc_shapes]          # encoder
+    tfcm_sites += [(2 * enc_shapes[si][0],
+                    CHANNELS[si - 1] if si > 0 else CPE)
+                   for si in reversed(range(len(CHANNELS)))]   # decoder
+    for kb, ch in tfcm_sites:
+        m = B * kb * T
+        elems = m * ch
+        inv.einsum("tfcm_mm", f"1x1 pair K{kb}xC{ch}", m, ch, ch,
+                   count=2 * TFCM_LAYERS)
+        # stencil: fwd 9 taps (9 loads + 9 FMA = 18 slots); bwd-dx same 18;
+        # bwd-dwd 9 mul+reduce (9 loads + 9 FMA + ~2 reduce) ~ 20
+        inv.vpu_pass("tfcm_dw", f"stencil K{kb}xC{ch}",
+                     elems * TFCM_LAYERS, 18 + 18 + 20,
+                     "9-tap dw fwd+dx+dwd")
+        # 2x BN (fwd 5: stats 2 + norm-affine 3; bwd 7: dg/db 2, dx 5)
+        # + 2x PReLU (fwd 2, bwd 4) + residual (fwd 1, bwd 1)
+        inv.vpu_pass("tfcm_ew", f"bn/prelu/res K{kb}xC{ch}",
+                     elems * TFCM_LAYERS, 2 * 12 + 2 * 6 + 2,
+                     "2BN + 2PReLU + residual, fwd+bwd")
+        # mandatory per block: fwd reads x + writes y; bwd reads dy + the
+        # saved normalized activation (or recomputes) + writes dx -> 6
+        # HBM tensor passes of `elems` bf16 (intra-block intermediates can
+        # in principle live in VMEM; this is the floor, not the status quo)
+        inv.traffic("tfcm_hbm", f"K{kb}xC{ch}",
+                    TFCM_LAYERS * 6 * elems * 2)
+
+    # ---- ASA at the 3 encoder shapes
+    nb = math.ceil(T / WIN)
+    for kb, ch in enc_shapes:
+        c_att = max(ch // 4, 1)
+        m = B * kb * T
+        inv.einsum("asa_proj", f"qkv K{kb}", m, c_att, ch, count=4)  # qf,kf,qt,kt
+        inv.einsum("asa_proj", f"v K{kb}", m, ch, ch, count=2)       # vf,vt
+        # freq attention: logits [B,K,K,T] contract c_att; apply contracts K
+        inv.einsum("asa_attn", f"f-logits K{kb}", B * T * kb, kb, c_att)
+        inv.einsum("asa_attn", f"f-apply K{kb}", B * T * kb, ch, kb)
+        # temporal block-local: [B,K,nb] blocks of [w, 2w]
+        inv.einsum("asa_attn", f"t-logits K{kb}", B * kb * nb * WIN,
+                   2 * WIN, c_att)
+        inv.einsum("asa_attn", f"t-apply K{kb}", B * kb * nb * WIN,
+                   ch, 2 * WIN)
+        # softmax over the [.., K] / [.., 2w] axes: ~6 slots fwd (max, sub,
+        # exp, sum, div) + ~6 bwd, on the logits tensors
+        logit_elems = B * T * kb * kb + B * kb * nb * WIN * 2 * WIN
+        inv.vpu_pass("asa_ew", f"softmax+mask K{kb}", logit_elems, 14,
+                     "2x softmax fwd+bwd + mask where")
+        # mandatory traffic (flash-style bound: logits/probs stay in
+        # VMEM): x in + y out + dy in + dx out, plus q/k/v for both axes
+        # written fwd and re-read bwd. The production einsum path DOES
+        # materialize logits (measured faster than the flash kernel --
+        # MXU latency, not traffic, binds); the floor assumes it needn't.
+        qkv = 2 * m * (2 * c_att + ch)
+        inv.traffic("asa_hbm", f"K{kb}", (4 * m * ch + 2 * qkv) * 2)
+
+    # ---- mask head + bank2amp + sigmoid + spec mul
+    inv.einsum("head", "mask 1x1", B * K0 * T, 1, CPE)
+    inv.vpu_pass("head", "sigmoid+specmul", B * T * F, 10, "fwd+bwd, fp32")
+    # ---- deep filter: coef head [512 -> F*9*2] + 9-tap complex apply
+    df_out = F * 9 * 2
+    inv.einsum("df", "coef head", B * T, df_out, K0 * CPE)
+    inv.vpu_pass("df", "9-tap complex apply", B * T * F, 9 * 4 * 3,
+                 "9 taps x 4 mul-add fwd, x3 passes (fp32)")
+    inv.traffic("df", "coefs+apply", 3 * (B * T * df_out + 4 * B * T * F) * 4)
+
+    # ---- stft/istft + losses: noisy/clean stft fwd only; istft fwd+bwd
+    inv.einsum("stft", "stft noisy+clean", B * T, 2 * F, NFFT, count=2,
+               passes=1)
+    inv.einsum("stft", "istft (si_snr) fwd+bwd", B * T, NFFT, 2 * F, passes=2)
+    inv.vpu_pass("loss", "si_snr+spec reductions", B * SECONDS * SR, 12,
+                 "waveform dots/norms fwd+bwd + spec mse")
+    # ---- optimizer/balancer: measured directly (profile_step_anatomy:
+    # step-grad), not derived — kept as a measured constant in the floor
+    return inv
+
+
+# ---------------------------------------------------------------- ablate
+
+
+def _build_step(**over):
+    from cruse_tpu.dsp.stft import StftConfig, stft
+    from cruse_tpu.models import MtfaaNet
+    from cruse_tpu.models.mtfaa import MtfaaConfig
+    from cruse_tpu.train.step import (
+        StepConfig, init_train_state, make_train_step, forward_for_model,
+    )
+
+    scfg = StftConfig(n_fft=NFFT, hop_length=HOP)
+    kw = {"attention_window": WIN}
+    kw.update(over)
+    model = MtfaaNet(MtfaaConfig(**kw))
+    cfg = StepConfig(stft=scfg, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.standard_normal((B, SECONDS * SR)), jnp.float32) * 0.05
+    noisy = clean + jnp.asarray(
+        rng.standard_normal((B, SECONDS * SR)), jnp.float32) * 0.05
+    spec = stft(noisy, scfg)
+    feat = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), feat)
+    step = make_train_step(model, cfg, forward=forward_for_model(model))
+    return step, state, noisy, clean
+
+
+ABLATIONS = {
+    "full": {},
+    "tfcm0": {"tfcm_layers": 0},
+    "noasa": {"asa_enabled": False},
+    "nodf": {"use_deep_filter": False},
+}
+
+
+def ablate(names=None):
+    meas = _load()
+    iters = 20
+    for name in names or ABLATIONS:
+        over = ABLATIONS[name]
+        step, state, noisy, clean = _build_step(**over)
+
+        @jax.jit
+        def loop(noisy, clean, state):
+            def body(i, carry):
+                st, acc = carry
+                st, m = step(st, {"noisy": noisy * (1 + 1e-6 * acc),
+                                  "clean": clean})
+                return st, acc + m["grad_norm"] * 1e-9
+            _, acc = lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+            return acc
+
+        # XLA cost model for the single step
+        single = jax.jit(step)
+        ca = single.lower(state, {"noisy": noisy, "clean": clean}
+                          ).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        dt = _time3(loop, noisy, clean, state) / iters
+        meas[f"step_{name}_ms"] = dt * 1e3
+        meas[f"step_{name}_gflops"] = ca.get("flops", float("nan")) / 1e9
+        meas[f"step_{name}_trans"] = ca.get("transcendentals", 0.0)
+        print(f"{name:8s} {dt*1e3:7.1f} ms  {AUDIO_SEC/dt:7.0f}x RT  "
+              f"{meas[f'step_{name}_gflops']:.1f} GFLOP (XLA)")
+        _save(meas)
+
+
+# ---------------------------------------------------------------- isolate
+
+
+def isolate():
+    """Per-shape isolated fwd+bwd of the production TFCM block and ASA
+    module: the x-count sum is compared against the in-graph differential
+    (the gap = integration/fusion overhead, reported in FLOOR.md)."""
+    from cruse_tpu.models.mtfaa import TFCMBlock, AxialSelfAttention
+
+    meas = _load()
+    it = 100
+    enc = []
+    kb = K0
+    for ch in CHANNELS:
+        kb //= 2
+        enc.append((kb, ch))
+    sites = enc + [(2 * enc[si][0], CHANNELS[si - 1] if si > 0 else CPE)
+                   for si in reversed(range(len(CHANNELS)))]
+
+    rng = np.random.default_rng(0)
+    for kb, ch in sites:
+        x = jnp.asarray(rng.standard_normal((B, kb, ch, T)), jnp.bfloat16) * 0.1
+        blk = TFCMBlock(ch, 4)
+        variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+        params, stats = variables["params"], variables.get("batch_stats", {})
+
+        def fwd_bwd(x, params):
+            def loss(x, p):
+                (y, _), _ = blk.apply({"params": p, "batch_stats": stats}, x,
+                                      train=True, mutable=["batch_stats"])
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            v, g = jax.value_and_grad(loss)(x, params)
+            return v, g
+
+        @jax.jit
+        def loop(x, params):
+            def body(i, carry):
+                acc, xx = carry
+                v, g = fwd_bwd(xx, params)
+                return acc + v, xx + 1e-6 * g.astype(xx.dtype)
+            acc, _ = lax.fori_loop(0, it, body, (jnp.float32(0.0), x))
+            return acc
+
+        dt = _time3(loop, x, params) / it
+        meas[f"tfcm_block_K{kb}_C{ch}_ms"] = dt * 1e3
+        print(f"tfcm block K{kb:3d} C{ch:2d}: {dt*1e3:6.3f} ms fwd+bwd", flush=True)
+        _save(meas)
+
+    for kb, ch in enc:
+        x = jnp.asarray(rng.standard_normal((B, kb, ch, T)), jnp.bfloat16) * 0.1
+        asa = AxialSelfAttention(ch, window=WIN)
+        variables = asa.init(jax.random.PRNGKey(0), x, train=True)
+        params = variables["params"]
+
+        def fwd_bwd(x, params):
+            def loss(x, p):
+                y, _ = asa.apply({"params": p}, x, train=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            v, g = jax.value_and_grad(loss)(x, params)
+            return v, g
+
+        @jax.jit
+        def loop(x, params):
+            def body(i, carry):
+                acc, xx = carry
+                v, g = fwd_bwd(xx, params)
+                return acc + v, xx + 1e-6 * g.astype(xx.dtype)
+            acc, _ = lax.fori_loop(0, it, body, (jnp.float32(0.0), x))
+            return acc
+
+        dt = _time3(loop, x, params) / it
+        meas[f"asa_K{kb}_C{ch}_ms"] = dt * 1e3
+        print(f"asa        K{kb:3d} C{ch:2d}: {dt*1e3:6.3f} ms fwd+bwd", flush=True)
+        _save(meas)
+
+
+# ---------------------------------------------------------------- derive
+
+
+GROUP_MAP = {  # inventory group -> ablation group for the cross-check
+    "tfcm_mm": "tfcm", "tfcm_dw": "tfcm", "tfcm_ew": "tfcm",
+    "tfcm_hbm": "tfcm",
+    "asa_proj": "asa", "asa_attn": "asa", "asa_ew": "asa", "asa_hbm": "asa",
+    "df": "df",
+    "pe": "rest", "banks": "rest", "bandconv": "rest", "head": "rest",
+    "stft": "rest", "loss": "rest",
+}
+
+
+def derive():
+    meas = _load()
+    inv = build_inventory()
+    r_mxu = meas.get("mxu_macs_per_s", PEAK_BF16_MACS)
+    r_vpu = meas.get("vpu_slots_bf16", 4e12)
+    r_hbm = meas.get("hbm_bytes_per_s", 700e9)
+
+    mxu_t = inv.mxu_time(r_mxu)
+    mxu_macs = inv.mxu_macs()
+    vpu_t = inv.vpu_time(r_vpu)
+    hbm_t = inv.hbm_time(r_hbm)
+
+    # fold fine groups into floor rows; floor = max over resources per row
+    rows = {}
+    for g in set(list(mxu_t) + list(vpu_t) + list(hbm_t)):
+        rows[g] = (mxu_t.get(g, 0.0), vpu_t.get(g, 0.0), hbm_t.get(g, 0.0))
+    print("\n== per-group hardware floor (ms) ==")
+    print(f"{'group':12s} {'mxu':>8s} {'vpu':>8s} {'hbm':>8s} {'floor':>8s}")
+    total = 0.0
+    agg = {}
+    for g in sorted(rows):
+        m, v, h = (x * 1e3 for x in rows[g])
+        fl = max(m, v, h)
+        total += fl
+        agg[GROUP_MAP.get(g, g)] = agg.get(GROUP_MAP.get(g, g), 0.0) + fl
+        print(f"{g:12s} {m:8.2f} {v:8.2f} {h:8.2f} {fl:8.2f}")
+    opt_ms = meas.get("opt_measured_ms", 0.5)  # measured step-grad
+    total += opt_ms
+    agg["opt"] = opt_ms
+    print(f"{'opt (meas)':12s} {'':8s} {'':8s} {'':8s} {opt_ms:8.2f}")
+    print(f"{'TOTAL':12s} {'':8s} {'':8s} {'':8s} {total:8.2f}"
+          f"  -> ceiling {AUDIO_SEC/(total/1e3):.0f}x RT")
+
+    # counted-vs-XLA flops cross-check per ablation group
+    print("\n== counted MACs vs XLA cost-model flop differentials ==")
+    full_gf = meas.get("step_full_gflops")
+    for abl, key in (("tfcm", "tfcm0"), ("asa", "noasa"), ("df", "nodf")):
+        gf = meas.get(f"step_{key}_gflops")
+        if full_gf is None or gf is None:
+            continue
+        xla_diff = full_gf - gf
+        counted = sum(v for g, v in mxu_macs.items()
+                      if GROUP_MAP.get(g) == abl) * 2 / 1e9
+        vpu_fl = sum(e * s for g, d, e, s, _ in inv.vpu
+                     if GROUP_MAP.get(g) == abl) / 1e9
+        print(f"{abl:6s} XLA {xla_diff:8.1f} GFLOP | counted MXU "
+              f"{counted:8.1f} + VPU-slots {vpu_fl:8.1f}")
+
+    # measured in-graph differentials vs floors and isolated sums
+    print("\n== measured (in-graph differential) vs floor ==")
+    full_ms = meas.get("step_full_ms")
+    if full_ms is not None:
+        rest = full_ms
+        for abl, key in (("tfcm", "tfcm0"), ("asa", "noasa"), ("df", "nodf")):
+            d = full_ms - meas.get(f"step_{key}_ms", float("nan"))
+            rest -= d
+            fl = agg.get(abl, 0.0)
+            print(f"{abl:6s} measured {d:7.1f} ms | floor {fl:7.2f} ms | "
+                  f"gap {d/fl if fl else float('nan'):5.1f}x")
+        print(f"rest   measured {rest:7.1f} ms | floor "
+              f"{agg.get('rest', 0) + agg.get('opt', 0):7.2f} ms")
+        print(f"full   measured {full_ms:7.1f} ms ({AUDIO_SEC/(full_ms/1e3):.0f}x RT)"
+              f" | floor {total:7.2f} ms ({AUDIO_SEC/(total/1e3):.0f}x RT)")
+
+    # isolated x count cross-check
+    iso_tfcm = sum(v * TFCM_LAYERS for k, v in meas.items()
+                   if k.startswith("tfcm_block_"))
+    iso_asa = sum(v for k, v in meas.items() if k.startswith("asa_K"))
+    if iso_tfcm:
+        print(f"\nisolated TFCM sum x{TFCM_LAYERS} layers: {iso_tfcm:.1f} ms; "
+              f"isolated ASA sum: {iso_asa:.1f} ms")
+    out = {
+        "derived_floor_ms": round(total, 2),
+        "derived_ceiling_x_rt": round(AUDIO_SEC / (total / 1e3), 0),
+        "audio_seconds_per_step": AUDIO_SEC,
+    }
+    meas.update(out)
+    _save(meas)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    cmds = sys.argv[1:] or ["derive"]
+    for c in cmds:
+        if c == "calib":
+            calib()
+        elif c == "ablate":
+            ablate()
+        elif c.startswith("ablate:"):
+            ablate(c.split(":", 1)[1].split(","))
+        elif c == "isolate":
+            isolate()
+        elif c == "derive":
+            derive()
+        else:
+            raise SystemExit(f"unknown cmd {c}")

@@ -75,6 +75,7 @@ def main():
         "tfcmremat": {"tfcm_remat": True},
         "tfcmfused": {"tfcm_dw_impl": "fused"},
         "tfcmfusedpl": {"tfcm_dw_impl": "fused_pallas"},
+        "tfcmfold": {"tfcm_dw_impl": "fused_fold"},
     }
     variant = "base"
     for a in sys.argv[1:]:

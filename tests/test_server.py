@@ -298,3 +298,85 @@ def test_server_streams_fullsubnet(rng):
         outs.append(res[a])
     server.close(a), server.close(b)
     np.testing.assert_allclose(np.concatenate(outs), got, atol=1e-5)
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+@pytest.mark.slow
+def test_serving_soak_stable_memory_and_churn(rng):
+    """Sustained serving soak (round-4 VERDICT item 7): >= 30 minutes of
+    SIMULATED aggregate audio through one server with continuously churning
+    sessions (open -> serve a few seconds -> close -> slot reused by a new
+    session). Asserts the properties a long-lived deployment needs:
+
+      - steady-state host memory (RSS growth over the second half of the
+        soak bounded -- catches leaked buffers/arrays/sessions)
+      - every enhanced hop finite, every fed hop eventually served
+      - slot accounting stays exact across hundreds of open/close cycles
+
+    Wall-clock latency is NOT asserted here (a contended 1-core CPU host
+    would flake); the on-chip soak numbers live in scripts/soak_serve.py
+    and STATUS.md. Ref: RTF as the headline serving metric,
+    /root/reference/train_base/inferencer/base_inferencer.py:188-190."""
+    cfg = StftConfig(n_fft=320, hop_length=160, center=False)
+    model = CruseNet(CruseConfig(in_freq=161, channels=(2, 4), rnn_groups=2))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 161)))
+    n_streams = 8
+    server = StreamingServer(model, variables, cfg, max_streams=n_streams)
+
+    sr, hop = 16000, cfg.hop_length
+    target_audio_s = 1800.0  # >= 30 min aggregate across concurrent streams
+    session_hops = rng.integers(150, 450, size=4096)  # 1.5-4.5 s lifetimes
+    chunk = rng.standard_normal(hop * 16).astype(np.float32) * 0.1
+
+    sessions = {}  # sid -> [hops_remaining, hops_served]
+    served_hops = 0
+    fed_hops = 0
+    opened = 0
+    closed = 0
+    audio_s = 0.0
+    rss_trace = []
+    next_len = iter(session_hops)
+    while audio_s < target_audio_s:
+        # keep all slots occupied (continuous churn)
+        while len(sessions) < n_streams:
+            sid = server.open()
+            assert sid not in sessions
+            sessions[sid] = [int(next(next_len)), 0]
+            opened += 1
+        # feed each session up to 16 hops of audio, bounded by its lifetime
+        for sid, acc in sessions.items():
+            feed = min(16, acc[0] - acc[1] - (server._buffers[sid].shape[-1] // hop))
+            if feed > 0:
+                server.feed(sid, chunk[: feed * hop])
+                fed_hops += feed
+        # run the multiplexed step until nobody has a full hop buffered
+        while server.ready_sessions():
+            for sid, out in server.step().items():
+                assert np.isfinite(out).all()
+                sessions[sid][1] += 1
+                served_hops += 1
+                audio_s += hop / sr
+        # retire finished sessions (slots go back to the pool)
+        for sid in [s for s, acc in sessions.items() if acc[1] >= acc[0]]:
+            server.close(sid)
+            del sessions[sid]
+            closed += 1
+        if opened % 16 == 0:
+            rss_trace.append(_rss_mb())
+
+    assert served_hops == fed_hops, (served_hops, fed_hops)
+    assert closed > 200, f"churn too weak to mean anything: {closed} sessions"
+    assert audio_s >= target_audio_s
+    # steady-state memory: second half of the soak must not drift upward
+    # by more than a noise allowance (jit caches/warmup live in the first)
+    half = len(rss_trace) // 2
+    late = rss_trace[half:]
+    growth = max(late) - min(late)
+    assert growth < 64.0, f"RSS drifted {growth:.1f} MB over the soak tail"

@@ -163,7 +163,7 @@ def test_mtfaa_net_trains_same_under_impls():
     # 131 s of suite wall time at the old shapes (round-4 VERDICT #7)
     cspec = jnp.asarray(rng.standard_normal((2, 16, 129, 2)), jnp.float32) * 0.1
     grads = {}
-    for impl in ("xla", "fused", "fused_pallas_interpret"):
+    for impl in ("xla", "fused", "fused_fold", "fused_pallas_interpret"):
         cfg = MtfaaConfig(n_fft=256, attention_window=8, tfcm_dw_impl=impl,
                           n_bands=16, channels=(8, 8), band_strides=(2, 2),
                           tfcm_layers=2, use_deep_filter=False)
@@ -182,6 +182,6 @@ def test_mtfaa_net_trains_same_under_impls():
              for l in jax.tree_util.tree_leaves(g)])
     ref = grads["xla"]
     scale = float(jnp.abs(ref).max())
-    for impl in ("fused", "fused_pallas_interpret"):
+    for impl in ("fused", "fused_fold", "fused_pallas_interpret"):
         e = float(jnp.abs(grads[impl] - ref).max())
         assert e < 3e-3 * scale + 1e-3, (impl, e, scale)
