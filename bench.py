@@ -303,6 +303,21 @@ def _probe_backend(timeout_s: int = int(os.environ.get("BENCH_PROBE_TIMEOUT", "2
     raise SystemExit(1)
 
 
+def _derived_ceiling():
+    """Hardware-floor ceiling for config 5 from the falsifiable derivation
+    (scripts/floor_derivation.py -> scripts/floor_measurements.json; the
+    method and per-group tables are in FLOOR.md). Embedded in the bench
+    JSON so the 5000x target can be formally adjudicated against what this
+    chip can physically do for this model."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "floor_measurements.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["derived_ceiling_x_rt"])
+    except Exception:
+        return None
+
+
 def main():
     # an explicit JAX_PLATFORMS wins over the axon sitecustomize (which
     # re-pins the real chip); the ambient env on the bench host sets "axon"
@@ -312,6 +327,7 @@ def main():
     _probe_backend()
     sel = os.environ.get("BENCH_CONFIG", "all")
     names = list(BENCHES) if sel == "all" else [s.strip() for s in sel.split(",")]
+    ceiling = _derived_ceiling()
     results = {}
     for i, name in enumerate(names, 1):
         try:
@@ -321,18 +337,19 @@ def main():
                   flush=True)
             continue
         results[name] = {"value": round(x_rt, 1), "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3)}
-        print(
-            json.dumps(
-                {
-                    "config": name,
-                    "metric": "audio_sec_per_sec_per_chip",
-                    "value": round(x_rt, 1),
-                    "unit": f"x realtime @16kHz ({label})",
-                    "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
-                }
-            ),
-            flush=True,
-        )
+        line = {
+            "config": name,
+            "metric": "audio_sec_per_sec_per_chip",
+            "value": round(x_rt, 1),
+            "unit": f"x realtime @16kHz ({label})",
+            "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 3),
+        }
+        if name.startswith("mtfaa_train") and ceiling:
+            line["derived_ceiling_x_rt"] = ceiling
+            line["vs_derived_ceiling"] = round(x_rt / ceiling, 3)
+            results[name]["derived_ceiling_x_rt"] = ceiling
+            results[name]["vs_derived_ceiling"] = round(x_rt / ceiling, 3)
+        print(json.dumps(line), flush=True)
     # final flagship summary line (the driver's ONE JSON line)
     if not results:
         print(json.dumps({"metric": "audio_sec_enhanced_per_sec_per_chip",

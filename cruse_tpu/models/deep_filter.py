@@ -76,6 +76,57 @@ def deep_filter_apply(
     return out_r, out_i
 
 
+def _shift2d_tm(x: jax.Array, dt: int, df: int) -> jax.Array:
+    """T-minor _shift2d: shift [B, F, T] so out[f, t] = x[f - df, t - dt]."""
+    b, f, t = x.shape
+    out = x
+    if dt > 0:
+        out = jnp.pad(out, ((0, 0), (0, 0), (dt, 0)))[..., :t]
+    elif dt < 0:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, -dt)))[..., -dt:]
+    if df > 0:
+        out = jnp.pad(out, ((0, 0), (df, 0), (0, 0)))[:, :f]
+    elif df < 0:
+        out = jnp.pad(out, ((0, 0), (0, -df), (0, 0)))[:, -df:]
+    return out
+
+
+def deep_filter_apply_tm(
+    spec_r: jax.Array,
+    spec_i: jax.Array,
+    coef_r: jax.Array,
+    coef_i: jax.Array,
+    t_dim: int,
+    f_dim: int,
+    causal: bool = False,
+):
+    """deep_filter_apply in the T-minor layout: spec_* [B, F, T], coef_*
+    [B, F, K, T]; returns (out_r, out_i) [B, F, T]. Same math and tap order
+    (parity test: tests/test_deep_filter.py::test_tm_matches_tmajor).
+
+    Why it exists: MTFAA's coefficient head emits [B, F*K*2, T] in the
+    model's T-minor layout; this apply consumes it directly (the reshape is
+    free, every tap a lane/sublane shift) instead of relaying the
+    ~46M-element coef tensor through [B, T, F, K] transposes. Measured
+    effect on the full windowed train step: NEUTRAL (123.8 -> 123.6 ms —
+    XLA was already folding the transposes into adjacent ops), so the DF
+    group's 9.6 ms-over-floor lives in the coef-head matmul scheduling,
+    not the layout. Kept because it is the structurally simpler path for
+    the T-minor model and removes the relayout in isolation."""
+    offsets = tap_offsets(t_dim, f_dim, causal)
+    assert coef_r.shape[2] == len(offsets), (coef_r.shape, len(offsets))
+    out_r = jnp.zeros_like(spec_r)
+    out_i = jnp.zeros_like(spec_i)
+    for k, (dt, df) in enumerate(offsets):
+        sr = _shift2d_tm(spec_r, dt, df)
+        si = _shift2d_tm(spec_i, dt, df)
+        cr = coef_r[:, :, k]
+        ci = coef_i[:, :, k]
+        out_r = out_r + sr * cr - si * ci
+        out_i = out_i + sr * ci + si * cr
+    return out_r, out_i
+
+
 class DeepFilterHead(nn.Module):
     """Predict complex multi-frame filter coefficients from features and
     apply them to the noisy spectrum.

@@ -838,24 +838,42 @@ class MtfaaNet(nn.Module):
             feats = x.reshape(x.shape[0], x.shape[1] * x.shape[2], x.shape[3])
             coefs_tm = (jnp.einsum("bct,cd->bdt", feats, wdf) + bdf[:, None]) / self._df_taps
             t_now = coefs_tm.shape[-1]
-            coefs = jnp.transpose(coefs_tm, (0, 2, 1)).reshape(
-                x.shape[0], t_now, cfg.num_bins, self._df_taps, 2
+            from cruse_tpu.models.deep_filter import (
+                deep_filter_apply_tm, tap_offsets,
             )
-            coefs = coefs.astype(jnp.float32)
-            from cruse_tpu.models.deep_filter import deep_filter_apply, tap_offsets
 
             if state is None:
-                out_r, out_i = deep_filter_apply(
-                    jnp.real(enhanced), jnp.imag(enhanced),
-                    coefs[..., 0], coefs[..., 1],
+                # batch path stays T-minor end to end: the coef reshape
+                # [B, F*K*2, T] -> [B, F, K, 2, T] is free (d decomposes in
+                # the same f-major/tap/ri order as the old T-major reshape,
+                # so weight layout and checkpoints are unchanged), the
+                # masked spectrum comes straight off cspec_tm/mask_tm, and
+                # the taps are lane/sublane shifts. Measured step effect:
+                # neutral (123.8 -> 123.6 ms windowed train) — XLA already
+                # folded the old transposes; kept as the simpler layout.
+                coefs_bf = coefs_tm.reshape(
+                    x.shape[0], cfg.num_bins, self._df_taps, 2, t_now
+                ).astype(jnp.float32)
+                mask32 = mask_tm.astype(jnp.float32)
+                em_r = cspec_tm[:, :, 0].astype(jnp.float32) * mask32
+                em_i = cspec_tm[:, :, 1].astype(jnp.float32) * mask32
+                out_r, out_i = deep_filter_apply_tm(
+                    em_r, em_i,
+                    coefs_bf[:, :, :, 0], coefs_bf[:, :, :, 1],
                     cfg.df_taps_t, cfg.df_taps_f, causal=True,
                 )
-                enhanced = jax.lax.complex(out_r, out_i)
+                enhanced = jax.lax.complex(
+                    jnp.transpose(out_r, (0, 2, 1)), jnp.transpose(out_i, (0, 2, 1))
+                )
+                ctx = 2 * cfg.df_taps_t
                 new_state["df"] = None if cfg.attention_window is None else (
-                    jnp.real(spec * mask)[:, -(2 * cfg.df_taps_t) :],
-                    jnp.imag(spec * mask)[:, -(2 * cfg.df_taps_t) :],
+                    jnp.transpose(em_r[..., -ctx:], (0, 2, 1)),
+                    jnp.transpose(em_i[..., -ctx:], (0, 2, 1)),
                 )
             else:
+                coefs = jnp.transpose(coefs_tm, (0, 2, 1)).reshape(
+                    x.shape[0], t_now, cfg.num_bins, self._df_taps, 2
+                ).astype(jnp.float32)
                 # streaming: rolling masked-spec history ([B, T, F] layout --
                 # frame-sized tensors, latency- not bandwidth-bound)
                 hr, hi = st["df"]

@@ -151,6 +151,7 @@ def gate_grads():
 
 def gate_step():
     run_child("step", "xla", None)
+    run_child("step", "fused_fold", None)  # round-5 production default
     run_child("step", "pallas", None)
     run_child("step", "pallas", "bfloat16")
 

@@ -142,6 +142,27 @@ if __name__ == "__main__":
                 measure_train(v[0], v[1], remat=v[3])
             else:
                 measure_train(v[0], v[1])
+    elif which.startswith("r5"):
+        # round-5: does per-block jax.checkpoint (tfcm_remat) stack with the
+        # fused_fold custom-VJP path? Both attack the same defusion problem
+        # (param-grad reductions becoming separate HBM passes at full-graph
+        # scale) from different ends. All variants are the windowed
+        # production configuration.
+        variants = [
+            ("train w=126 fused_fold (prod)",
+             MtfaaConfig(attention_window=126)),
+            ("train w=126 fused_fold + tfcm_remat",
+             MtfaaConfig(attention_window=126, tfcm_remat=True)),
+            ("train w=126 xla dw + tfcm_remat",
+             MtfaaConfig(attention_window=126, tfcm_dw_impl="xla",
+                         tfcm_remat=True)),
+            ("train w=126 xla dw",
+             MtfaaConfig(attention_window=126, tfcm_dw_impl="xla")),
+        ]
+        sel = [int(which.split(":", 1)[1])] if ":" in which else range(len(variants))
+        for i in sel:
+            name, mcfg = variants[i]
+            measure_train(name, mcfg)
     elif which.startswith("crop"):
         # crop-length sweep: same total audio per step (160 s), shorter
         # crops (the reference trains on ~3 s crops) -> full-causal

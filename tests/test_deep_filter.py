@@ -99,3 +99,29 @@ def test_head_module(rng):
     out = head.apply(v, feats, spec)
     assert out.shape == (b, t, f)
     assert np.isfinite(np.asarray(out)).all().item()
+
+
+def test_tm_matches_tmajor(rng):
+    """deep_filter_apply_tm ([B, F, T] / [B, F, K, T]) computes exactly the
+    T-major apply's result (round-5 T-minor MTFAA batch path)."""
+    from cruse_tpu.models.deep_filter import deep_filter_apply_tm
+
+    b, t, f = 2, 14, 11
+    for t_dim, f_dim, causal in ((1, 1, True), (1, 2, False), (2, 1, True)):
+        k = len(tap_offsets(t_dim, f_dim, causal))
+        spec_r = rng.standard_normal((b, t, f)).astype(np.float32)
+        spec_i = rng.standard_normal((b, t, f)).astype(np.float32)
+        coef_r = rng.standard_normal((b, t, f, k)).astype(np.float32)
+        coef_i = rng.standard_normal((b, t, f, k)).astype(np.float32)
+        ref_r, ref_i = deep_filter_apply(
+            jnp.asarray(spec_r), jnp.asarray(spec_i),
+            jnp.asarray(coef_r), jnp.asarray(coef_i), t_dim, f_dim, causal)
+        tm_r, tm_i = deep_filter_apply_tm(
+            jnp.asarray(spec_r.transpose(0, 2, 1)),
+            jnp.asarray(spec_i.transpose(0, 2, 1)),
+            jnp.asarray(coef_r.transpose(0, 2, 3, 1)),
+            jnp.asarray(coef_i.transpose(0, 2, 3, 1)), t_dim, f_dim, causal)
+        np.testing.assert_allclose(
+            np.asarray(tm_r).transpose(0, 2, 1), np.asarray(ref_r), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tm_i).transpose(0, 2, 1), np.asarray(ref_i), atol=1e-6)
