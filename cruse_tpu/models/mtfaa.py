@@ -730,6 +730,10 @@ class MtfaaConfig:
     asa_enabled: bool = True  # ablation knob (scripts/floor_derivation.py):
     # False removes the ASA blocks entirely to measure their differential
     # cost in the full training graph. Not a production configuration.
+    asa_remat: bool = False  # jax.checkpoint around each ASA block: the
+    # backward recomputes logits/attn from q/k/v instead of loading the
+    # saved [B,F,nb,w,2w] tensors (~1.1 GB each across the 3 sites).
+    # Scoped to ASA only -- whole-model remat measured negative (round 3).
     mask_activation: str = "sigmoid"
     use_deep_filter: bool = True
     df_taps_t: int = 1
@@ -792,7 +796,10 @@ class MtfaaNet(nn.Module):
                 x, st.get(f"enc_tfcm_{si}"), train=train
             )
             if cfg.asa_enabled:
-                x, new_state[f"enc_asa_{si}"] = AxialSelfAttention(
+                asa_cls = AxialSelfAttention
+                if cfg.asa_remat:
+                    asa_cls = nn.remat(AxialSelfAttention, static_argnums=(2,))
+                x, new_state[f"enc_asa_{si}"] = asa_cls(
                     ch, window=cfg.attention_window, impl=cfg.asa_impl,
                     name=f"enc_asa_{si}"
                 )(x, st.get(f"enc_asa_{si}"), train=train)

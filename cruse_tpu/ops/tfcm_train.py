@@ -87,7 +87,7 @@ def tfcm_block_train(x: jax.Array, params: Params, d: int, eps: float = 1e-5,
     (y, new_hist [B,K,C,2d], bm1, bv1, bm2, bv2). Wrap the last five
     outputs in stop_gradient at the call site (their cotangents are
     ignored by the custom backward)."""
-    out, _res = _fwd(x, params, d, eps, fold=impl.endswith("fold"))
+    out, _res = _fwd(x, params, d, eps, fold="fold" in impl)
     return out
 
 
@@ -140,14 +140,118 @@ def _fwd(x, params, d: int, eps: float, fold: bool = False):
 
 
 def _vjp_fwd(x, params, d: int, eps: float, impl: str = "xla"):
-    return _fwd(x, params, d, eps, fold=impl.endswith("fold"))
+    return _fwd(x, params, d, eps, fold="fold" in impl)
 
 
 def _vjp_bwd(d: int, eps: float, impl: str, res, cots):
     if impl.startswith("pallas"):
         return _vjp_bwd_kernels(d, eps, res, cots,
                                 interpret=impl.endswith("interpret"))
-    return _vjp_bwd_xla(d, eps, res, cots, fold=impl.endswith("fold"))
+    if "merged" in impl:
+        return _vjp_bwd_merged(d, eps, res, cots, fold="fold" in impl)
+    return _vjp_bwd_xla(d, eps, res, cots, fold="fold" in impl)
+
+
+def _multi_sum(operands):
+    """All per-channel reductions of one phase as ONE variadic lax.reduce
+    over axes (0,1,3): a single HLO op the fusion pass cannot split back
+    into per-output HBM passes. In the full training graph XLA defuses
+    independent `jnp.sum`s into ~270 separate multiply_reduce launches per
+    step (23.5 ms, scripts/trace_lines.py --ops); in isolation it fuses
+    them fine, which is why the isolated chain harness never showed this.
+    Operands are cast to f32 in the generator so the converts fuse with
+    their elementwise producers."""
+    ops = tuple(o.astype(jnp.float32) for o in operands)
+    inits = tuple(jnp.float32(0) for _ in ops)
+
+    def comp(accs, vals):
+        return tuple(a + v for a, v in zip(accs, vals))
+
+    return jax.lax.reduce(ops, inits, comp, (0, 1, 3))
+
+
+def _vjp_bwd_merged(d: int, eps: float, res, cots, fold: bool):
+    """_vjp_bwd_xla with each phase's per-channel/tap reductions merged
+    into one variadic reduce (see _multi_sum). Math identical; only the
+    reduction grouping differs. The new_hist/stat cotangents are treated
+    as zero (callers stop-gradient those outputs -- module contract)."""
+    x, h1, h2, m1, v1, m2, v2, params = res
+    w1, b1, g1, be1, a1, wd, bd, g2, be2, a2, w2, b2 = params
+    g = cots[0]
+    dt = x.dtype
+    b, k_len, c, t_len = x.shape
+    n = b * k_len * t_len
+
+    # ---- phase A: tail (reads g, h2) ----
+    inv2r = jax.lax.rsqrt(v2 + eps)
+    xh2 = ((h2.astype(jnp.float32) - m2[:, None]) * inv2r[:, None]).astype(dt)
+    h2n = xh2 * g2.astype(dt)[:, None] + be2.astype(dt)[:, None]
+    h2a = _prelu(h2n, a2)
+    dh2a = jnp.einsum("bkot,co->bkct", g, w2)
+    neg2 = h2n < 0
+    dh2n = jnp.where(neg2, a2.astype(dt) * dh2a, dh2a)
+    dg2, dbe2, da2v, db2 = _multi_sum(
+        (dh2n * xh2, dh2n,
+         jnp.where(neg2, dh2a * h2n, jnp.zeros_like(h2n)), g))
+    da2 = jnp.sum(da2v)
+    dw2 = jnp.einsum("bkct,bkot->co", h2a, g).astype(jnp.float32)
+
+    # ---- phase B: mid (BN2-apply -> stencil vjp -> BN1/PReLU1 partials) ----
+    s2 = (inv2r * g2.astype(jnp.float32)).astype(dt)
+    dh2 = s2[:, None] * (
+        dh2n
+        - (dbe2 / n).astype(dt)[:, None]
+        - xh2 * (dg2 / n).astype(dt)[:, None]
+    )
+    gp = jnp.pad(dh2, ((0, 0), (1, 1), (0, 0), (2 * d, 2 * d)))
+    t_ext = t_len + 2 * d
+    wf = wd[::-1, ::-1]
+    acc = None
+    for it in range(3):
+        for jf in range(3):
+            sl = gp[:, jf : jf + k_len, :, it * d : it * d + t_ext] * wf[it, jf][:, None]
+            acc = sl if acc is None else acc + sl
+    dxe = acc
+    inv1r = jax.lax.rsqrt(v1 + eps)
+    if fold:
+        xh1 = h1
+    else:
+        xh1 = ((h1.astype(jnp.float32) - m1[:, None]) * inv1r[:, None]).astype(dt)
+    h1n = xh1 * g1.astype(dt)[:, None] + be1.astype(dt)[:, None]
+    h1a = _prelu(h1n, a1)
+    xe = jnp.pad(h1a, ((0, 0), (0, 0), (0, 0), (2 * d, 0)))
+    xp = jnp.pad(xe, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    dh1a = dxe[..., 2 * d :]
+    neg1 = h1n < 0
+    dh1n = jnp.where(neg1, a1.astype(dt) * dh1a, dh1a)
+    taps = tuple(xp[:, jf : jf + k_len, :, it * d : it * d + t_len] * dh2
+                 for it in range(3) for jf in range(3))
+    outs = _multi_sum(taps + (
+        dh1n * xh1, dh1n,
+        jnp.where(neg1, dh1a * h1n, jnp.zeros_like(h1n)), dh2))
+    dwd = jnp.stack(outs[:9]).reshape(3, 3, c)
+    dg1, dbe1, da1v, dbd = outs[9], outs[10], outs[11], outs[12]
+    da1 = jnp.sum(da1v)
+
+    # ---- phase C: head (BN1-apply -> dW1, db1, dx) ----
+    s1 = (inv1r * g1.astype(jnp.float32)).astype(dt)
+    dh1 = s1[:, None] * (
+        dh1n
+        - (dbe1 / n).astype(dt)[:, None]
+        - xh1 * (dg1 / n).astype(dt)[:, None]
+    )
+    db1 = jnp.sum(dh1.astype(jnp.float32), axis=(0, 1, 3))
+    dw1 = jnp.einsum("bkct,bkot->co", x, dh1).astype(jnp.float32)
+    dx = jnp.einsum("bkot,co->bkct", dh1, w1) + g
+
+    dparams = (
+        dw1.astype(w1.dtype), db1.astype(b1.dtype),
+        dg1.astype(g1.dtype), dbe1.astype(be1.dtype), da1.astype(a1.dtype),
+        dwd.astype(wd.dtype), dbd.astype(bd.dtype),
+        dg2.astype(g2.dtype), dbe2.astype(be2.dtype), da2.astype(a2.dtype),
+        dw2.astype(w2.dtype), db2.astype(b2.dtype),
+    )
+    return dx, dparams
 
 
 def _vjp_bwd_kernels(d: int, eps: float, res, cots, interpret: bool):
@@ -218,14 +322,17 @@ def _vjp_bwd_kernels(d: int, eps: float, res, cots, interpret: bool):
 
 
 def _vjp_bwd_xla(d: int, eps: float, res, cots, fold: bool = False):
-    """3-phase hand-scheduled backward. Stat cotangents are ignored (the
-    caller stop-gradients them); the new_hist cotangent is folded into the
-    stencil grad (it is a view of xe's tail). With fold=True the residual
+    """3-phase hand-scheduled backward. Stat AND new_hist cotangents are
+    treated as zero (module contract: callers stop-gradient those outputs
+    -- models/mtfaa.py:376-381). Round-5 finding: honoring g_hist cost a
+    full-tensor dynamic-update-slice per block in the production graph
+    (~20 DUS/step, ~5 ms) to add a cotangent that is concretely all-zero;
+    the kernels backward already ignored it. With fold=True the residual
     slot carries xh1 (the already-normalized pre-affine activation the
     folded forward emits) instead of the raw h1."""
     x, h1, h2, m1, v1, m2, v2, params = res
     w1, b1, g1, be1, a1, wd, bd, g2, be2, a2, w2, b2 = params
-    g, g_hist, _gm1, _gv1, _gm2, _gv2 = cots
+    g = cots[0]
     dt = x.dtype
     b, k_len, c, t_len = x.shape
     n = b * k_len * t_len
@@ -263,9 +370,6 @@ def _vjp_bwd_xla(d: int, eps: float, res, cots, fold: bool = False):
             sl = gp[:, jf : jf + k_len, :, it * d : it * d + t_ext] * wf[it, jf][:, None]
             acc = sl if acc is None else acc + sl
     dxe = acc
-    # fold the new_hist cotangent (a view of xe[..., T:]) into dxe
-    if g_hist is not None:
-        dxe = dxe.at[..., t_len:].add(g_hist.astype(dxe.dtype))
     # dwd: tap correlations between xe (recomputed) and dh2
     inv1r = jax.lax.rsqrt(v1 + eps)
     if fold:  # the folded forward saved xh1 itself -- no recompute pass

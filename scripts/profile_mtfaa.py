@@ -158,6 +158,13 @@ if __name__ == "__main__":
                          tfcm_remat=True)),
             ("train w=126 xla dw",
              MtfaaConfig(attention_window=126, tfcm_dw_impl="xla")),
+            ("train w=126 + asa_remat",
+             MtfaaConfig(attention_window=126, asa_remat=True)),
+            ("train w=126 fused_fold_merged",
+             MtfaaConfig(attention_window=126,
+                         tfcm_dw_impl="fused_fold_merged")),
+            ("train w=126 fused_fold (hist-DUS fix)",
+             MtfaaConfig(attention_window=126)),
         ]
         sel = [int(which.split(":", 1)[1])] if ":" in which else range(len(variants))
         for i in sel:
